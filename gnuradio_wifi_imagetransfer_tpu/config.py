@@ -1,0 +1,103 @@
+"""Typed configuration for the TPU-native 802.11a framework.
+
+Replaces the reference's three ad-hoc config mechanisms (GRC variable blocks
+with Qt getter/setter plumbing, module-level app constants, and an empty
+``codec/config.json``) with one typed dataclass layer — see SURVEY.md §5
+"Config / flag system".
+
+Reference parameter provenance:
+  - encoding enum:        IRS_user.py:130-132 (ieee802_11.Encoding values)
+  - bandwidth choices:    IRS_AP.py:88-91 / IRS_user.py:89-91 (1/5/10/20 MS/s)
+  - sync parameters:      IRS_AP.py:268-269, wifi_phy_hier.grc:63,690
+    (threshold 0.56, min_plateau 2, sync_length 320)
+  - max_symbols:          wifi_phy_hier.grc:51
+    (int(5 + 1 + ((16 + 800*8 + 6)*2)/24) = 541)
+  - pdu length range:     IRS_user.py:104 (10..500 B, default 50)
+  - chan_est algorithms:  IRS_AP.py:139-141 (LS / LMS / COMB / STA)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Encoding(enum.IntEnum):
+    """MCS indices, value-compatible with the reference's ieee802_11.Encoding
+    (IRS_user.py:130-132)."""
+
+    BPSK_1_2 = 0
+    BPSK_3_4 = 1
+    QPSK_1_2 = 2
+    QPSK_3_4 = 3
+    QAM16_1_2 = 4
+    QAM16_3_4 = 5
+    QAM64_2_3 = 6
+    QAM64_3_4 = 7
+
+
+class ChannelEstimator(enum.IntEnum):
+    """Channel-estimation algorithms, value-compatible with
+    ieee802_11.frame_equalizer's algo argument (IRS_AP.py:139-141)."""
+
+    LS = 0
+    LMS = 1
+    COMB = 2
+    STA = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class PhyConfig:
+    """Static PHY configuration (everything that fixes compiled shapes)."""
+
+    bandwidth: float = 10e6            # Hz; reference default 10 MHz (wifi_phy_hier.grc:83-99)
+    frequency: float = 5.89e9          # Hz carrier (wifi_phy_hier.grc:501-517)
+    encoding: Encoding = Encoding.QPSK_1_2   # reference live default (IRS_user.py:82)
+    chan_est: ChannelEstimator = ChannelEstimator.LS
+    sync_threshold: float = 0.56       # sync_short plateau threshold (IRS_AP.py:268)
+    min_plateau: int = 2               # sync_short min plateau (IRS_AP.py:268)
+    sync_length: int = 320             # sync_long search window (IRS_AP.py:269)
+    max_psdu_bytes: int = 800          # PHY buffer sizing assumption (wifi_phy_hier.grc:51)
+    lms_mu: float = 0.5                # LMS update gain (frame_equalizer algo=LMS)
+    sta_alpha: float = 0.5             # STA smoothing across symbols
+    sta_beta: float = 0.5              # STA smoothing across carriers
+
+    @property
+    def max_symbols(self) -> int:
+        """Max OFDM data symbols a frame may occupy (wifi_phy_hier.grc:51).
+
+        5 STF + 1 SIGNAL "symbols" of margin plus the BPSK-1/2 worst case of
+        (16 service + 8*max_psdu + 6 tail) coded bits at 24 data bits/symbol.
+        """
+        return int(5 + 1 + ((16 + self.max_psdu_bytes * 8 + 6) * 2) / 24)
+
+
+@dataclasses.dataclass(frozen=True)
+class ExecutorConfig:
+    """Streaming block-executor configuration (the GNU Radio scheduler
+    replacement — SURVEY.md §2.5, §7 step 6)."""
+
+    block_size: int = 1 << 16          # samples per time-block per shard
+    halo: int = 4096                   # left-halo samples (>= sync_length + frame tail)
+    max_frames_per_block: int = 8      # fixed frame-candidate slots per block
+    channels: int = 1                  # parallel 20 MHz channels (mesh axis "channel")
+    time_shards: int = 1               # time-block shards (mesh axis "time")
+
+
+@dataclasses.dataclass(frozen=True)
+class AppConfig:
+    """Application-layer constants (upload/download apps).
+
+    Reference provenance: HOST/PORT constants upload_featuremap_udp.py:20-22,
+    download_featuremap_udp.py:18-22; image size upload_image_udp.py:21;
+    piece spacing upload_image_udp.py:33.
+    """
+
+    tx_host: str = "127.0.0.1"
+    tx_port: int = 52001               # app -> radio UDP (IRS_user.grc:311-318)
+    rx_host: str = "127.0.0.1"
+    rx_port: int = 10010               # radio -> app UDP (IRS_AP_epy_block_2.py:38)
+    image_size: tuple[int, int] = (300, 300)
+    piece_size: tuple[int, int] = (10, 10)
+    piece_interval_s: float = 0.05
+    pdu_length: int = 50               # frame payload bytes (IRS_user.py:104)

@@ -1,0 +1,108 @@
+"""OFDM symbol assembly: carrier allocation, pilots, IFFT, cyclic prefix.
+
+Replicates digital.ofdm_carrier_allocator_cvc (wifi_phy_hier.grc:336-405),
+fft_vcc(64, reverse, window=[1/sqrt(52)]*64, shift) (grc:459-479) and
+digital.ofdm_cyclic_prefixer(64->80, cp=16, rolloff=2) (grc:406-424) as
+batched JAX ops over whole frames.
+
+The reference prepends 4 frequency-domain sync words; their IFFTs are the
+STF symbol (twice), the LTF cyclically shifted by 16 samples, and the LTF —
+which, after per-symbol CP16 + rolloff-2 blending, reconstruct the standard
+802.11a 320-sample preamble exactly (see phy/params.py docstring). Here the
+burst is assembled the same way: a sequence of 64-sample time symbols run
+through one vectorized CP+rolloff pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+from gnuradio_wifi_imagetransfer_tpu.phy import params
+
+
+def allocate_carriers(data_syms: jnp.ndarray, symbol_index0: int | jnp.ndarray = 0) -> jnp.ndarray:
+    """Scatter 48 data symbols/OFDM-symbol into the shifted 64-bin spectrum
+    with polarity-scaled pilots.
+
+    data_syms: (..., n_sym, 48) complex.
+    symbol_index0: polarity index of the first symbol (SIGNAL uses 0; data
+      symbols start at 1).
+    Returns (..., n_sym, 64) shifted-order spectra.
+    """
+    n_sym = data_syms.shape[-2]
+    out = jnp.zeros(data_syms.shape[:-1] + (params.N_FFT,), dtype=jnp.complex64)
+    out = out.at[..., jnp.asarray(params.DATA_BINS)].set(data_syms.astype(jnp.complex64))
+    pol_idx = (symbol_index0 + jnp.arange(n_sym)) % 127
+    polarity = jnp.asarray(params.POLARITY)[pol_idx]               # (n_sym,)
+    pilots = polarity[:, None] * jnp.asarray(params.PILOT_PATTERN)  # (n_sym, 4)
+    out = out.at[..., jnp.asarray(params.PILOT_BINS)].set(pilots.astype(jnp.complex64))
+    return out
+
+
+def ifft_symbols(freq_syms: jnp.ndarray) -> jnp.ndarray:
+    """Shifted-order spectra -> 64-sample time symbols with the reference's
+    unnormalized-IFFT * 1/sqrt(52) scaling."""
+    return (
+        jnp.fft.ifft(jnp.fft.ifftshift(freq_syms, axes=-1), axis=-1)
+        * params.IFFT_SCALE
+    ).astype(jnp.complex64)
+
+
+def fft_symbols(time_syms: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ifft_symbols: 64-sample time symbols -> shifted spectra.
+
+    Matches RX fft_vcc(64, forward, rect, shift) (IRS_AP.py:273) up to the
+    TX normalization: fft_symbols(ifft_symbols(X)) == X.
+    """
+    return (
+        jnp.fft.fftshift(jnp.fft.fft(time_syms, axis=-1), axes=-1)
+        / params.IFFT_SCALE
+    ).astype(jnp.complex64)
+
+
+def add_cyclic_prefix(time_syms: jnp.ndarray) -> jnp.ndarray:
+    """CP16 + rolloff-2 raised-cosine junction blending over a symbol burst.
+
+    time_syms: (..., n, 64) -> (..., n*80 + 1) serialized burst. Each symbol
+    emits [s[48:], s[:]]; junction sample k*80 is 0.5*(this symbol's s[48] +
+    previous symbol's cyclic continuation s_prev[0]); the burst gains one
+    trailing sample 0.5*s_last[0]. First sample of the burst is halved
+    (up-flank against silence), matching the GNU Radio prefixer.
+    """
+    n = time_syms.shape[-2]
+    blocks = jnp.concatenate([time_syms[..., 48:], time_syms], axis=-1)  # (..., n, 80)
+    flat = blocks.reshape(time_syms.shape[:-2] + (n * params.N_SYM,))
+    starts = jnp.arange(n) * params.N_SYM
+    first = time_syms[..., :, 48]                     # s_k[48] (..., n)
+    prev_cont = time_syms[..., :, 0]                  # s_k[0]  (..., n)
+    blended = 0.5 * first
+    blended = blended.at[..., 1:].add(0.5 * prev_cont[..., :-1])
+    flat = flat.at[..., starts].set(blended)
+    tail = 0.5 * prev_cont[..., -1:]
+    return jnp.concatenate([flat, tail.astype(flat.dtype)], axis=-1)
+
+
+@functools.cache
+def sync_time_symbols() -> np.ndarray:
+    """The 4 preamble time symbols (IFFTs of the reference's sync words):
+    STF, STF, LTF<<16, LTF — shape (4, 64)."""
+    stf = np.tile(params.STF_TIME16, 4)
+    ltf = params.LTF_TIME
+    ltf_shift = np.roll(ltf, 16)       # IFFT of LTF * (-j)^k (sync word 3)
+    return np.stack([stf, stf, ltf_shift, ltf]).astype(np.complex64)
+
+
+def assemble_burst(sig_freq: jnp.ndarray, data_freq: jnp.ndarray) -> jnp.ndarray:
+    """Full frame waveform: preamble + SIGNAL + data through one CP pass.
+
+    sig_freq: (..., 1, 64) SIGNAL spectrum; data_freq: (..., n_sym, 64).
+    Returns (..., (4+1+n_sym)*80 + 1) complex64 samples.
+    """
+    sync = jnp.broadcast_to(
+        jnp.asarray(sync_time_symbols()), sig_freq.shape[:-2] + (4, params.N_FFT)
+    )
+    body = ifft_symbols(jnp.concatenate([sig_freq, data_freq], axis=-2))
+    return add_cyclic_prefix(jnp.concatenate([sync, body], axis=-2))
