@@ -68,10 +68,35 @@ def sync_stats(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     return a, p, c
 
 
-def _moving_sum(v: jnp.ndarray, w: int) -> jnp.ndarray:
-    cs = jnp.cumsum(v, axis=-1)
-    shifted = jnp.pad(cs, [(0, 0)] * (v.ndim - 1) + [(w, 0)])[..., : v.shape[-1]]
-    return cs - shifted
+def _moving_sum(v: jnp.ndarray, w: int, seg: int = 512) -> jnp.ndarray:
+    """Trailing moving sum of width w along the last axis.
+
+    Implemented with SEGMENTED cumulative sums: a plain global cumsum
+    difference cs[n] - cs[n-w] suffers float32 catastrophic cancellation
+    (after ~1e6 unit-power samples the residue in silent regions rivals
+    real signal statistics and produces false sync edges). Here cumsums
+    are local to seg-sample rows, so every window sum is a difference of
+    partial sums bounded by one row's energy — and exact zero in silent
+    rows. Requires w <= seg.
+    """
+    assert w <= seg
+    n = v.shape[-1]
+    pad = (-n) % seg
+    vp = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, pad)])
+    rows = vp.reshape(vp.shape[:-1] + (-1, seg))              # (..., R, S)
+    c = jnp.cumsum(rows, axis=-1)
+    prev_c = jnp.roll(c, 1, axis=-2).at[..., 0, :].set(0)     # previous row's cumsum
+    prev_tot = prev_c[..., -1:]                               # (..., R, 1)
+    j = jnp.arange(seg)
+    jmw = j - w
+    within = jmw >= 0
+    # window entirely inside this row:
+    sub_in = jnp.take(c, jnp.maximum(jmw, 0), axis=-1)
+    # window crossing from the previous row: sum = c[i, j] +
+    # (prev_tot - prev_c[i-1, S + j - w])
+    sub_prev = jnp.take(prev_c, jnp.minimum(jmw + seg, seg - 1), axis=-1)
+    ws = jnp.where(within, c - sub_in, c + prev_tot - sub_prev)
+    return ws.reshape(vp.shape)[..., :n]
 
 
 def detect(
