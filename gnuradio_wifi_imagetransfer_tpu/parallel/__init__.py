@@ -1,0 +1,4 @@
+"""Parallel runtime: device meshes, halo exchange, streaming executor."""
+
+from gnuradio_wifi_imagetransfer_tpu.parallel.mesh import make_mesh  # noqa: F401
+from gnuradio_wifi_imagetransfer_tpu.parallel.executor import StreamExecutor  # noqa: F401

@@ -26,8 +26,11 @@ import jax.numpy as jnp
 from gnuradio_wifi_imagetransfer_tpu.phy import params
 
 
-@functools.cache
 def _tables():
+    # NOTE: deliberately NOT cached as jnp arrays — jnp.asarray inside a
+    # jit trace yields tracers, and caching those leaks them across traces.
+    # conv_tables() itself is cached numpy; the conversions below fold to
+    # constants under jit.
     t = params.conv_tables()
     return (
         jnp.asarray(t["prev_state"]),   # (64, 2)
