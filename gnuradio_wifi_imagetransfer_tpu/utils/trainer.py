@@ -1,0 +1,226 @@
+"""SOMANet training: environment wrapper + optax train step + checkpoints.
+
+Port of utils/Trainer.py:57-193 — the dynamic multi-user IRS environment
+(reset with random user counts/positions, Rician channel refresh, SNR
+draws), the loss modes (default / m2m / multi-band / distillation), and
+the GNN graph builder — restructured for JAX: losses are pure functions,
+the train step is one jit-compiled optax update that shards over a
+(data, model) mesh with pjit when a mesh is supplied, and checkpointing
+uses orbax (the reference only has torch.load/save of .pth files,
+jsce_codec.py:89-96; no resume logic — added here).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from gnuradio_wifi_imagetransfer_tpu.channel.irs import ClusteredIRSChannel
+from gnuradio_wifi_imagetransfer_tpu.models.somanet import SOMANet, pe_labels
+
+
+# ---------------------------------------------------------------------------
+# Environment (Trainer.reset / get_pos)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Environment:
+    """Dynamic multi-user IRS environment (Trainer.py:57-118)."""
+
+    user_num: int = 2
+    antenna_num: int = 1
+    irs_scale: int = 16
+    snr: float = 20.0
+    ap_pos: tuple = (0.24, 0.24, 4.5)
+    irs_pos: tuple = (0.015, 0.015, 0.0)
+    interval: float = 0.03
+    dynamic_user_num: bool = False
+    dynamic_position: bool = False
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(0)
+        self.usr_pos = None
+        self._rebuild()
+
+    def _rebuild(self):
+        self.chnl = ClusteredIRSChannel(
+            irs_unit_gap=self.interval, irs_scale=self.irs_scale,
+            irs_pos=self.irs_pos, ap_pos=self.ap_pos, cluster_scale=1,
+            user_num=self.user_num, ap_num=self.antenna_num)
+
+    def reset(self, key: jax.Array, k_factor: float = 10.0):
+        """Draw a new episode: user count, positions, LoS, Rician refresh,
+        per-user SNRs (Trainer.py reset :98-118)."""
+        if self.dynamic_user_num:
+            self.user_num = int(self._rng.integers(1, 5))
+            self._rebuild()
+        if self.dynamic_position or self.usr_pos is None:
+            self.usr_pos = np.column_stack([
+                self._rng.random(self.user_num) * 10,
+                self._rng.random(self.user_num) * 10,
+                np.full(self.user_num, 1.5),
+            ])
+            self._los = self.chnl.gen_los(self.usr_pos)
+            if self.dynamic_position:
+                self.snr = list(self._rng.integers(0, 20, self.user_num))
+        chans = self.chnl.gen_chnl(key, self._los, k_factor)
+        return chans, self.snr
+
+    def get_pos(self, with_irs: bool = True, with_ap: bool = True):
+        """Graph for GNN-based schedulers (Trainer.py get_pos :169-193)."""
+        nodes = [np.asarray(self.usr_pos)]
+        if with_irs:
+            nodes.insert(0, np.asarray(self.irs_pos)[None])
+        if with_ap:
+            nodes.insert(0, np.asarray(self.ap_pos)[None])
+        graph = np.vstack(nodes).astype(np.float32)
+        n = graph.shape[0]
+        x, y = np.meshgrid(np.arange(n), np.arange(n))
+        edge_index = np.vstack([x.ravel(), y.ravel()]).astype(np.int64)
+        return graph, edge_index
+
+
+# ---------------------------------------------------------------------------
+# Losses (Trainer.train / distill)
+# ---------------------------------------------------------------------------
+
+
+def mse_loss(model: SOMANet, variables, images, labels, train=False) -> jnp.ndarray:
+    """'default' mode: mse(output, input) / user_num (Trainer.py:149-152)."""
+    kwargs = {}
+    if train:
+        out, _ = model.apply(variables, images, labels, mutable=["batch_stats"])
+    else:
+        out = model.apply(variables, images, labels)
+    u = images.shape[0]
+    return jnp.mean((out - images) ** 2) / u
+
+
+def m2m_loss(model: SOMANet, variables, images, labels) -> jnp.ndarray:
+    """'m2m' mode: per-user mse averaged (Trainer.py:122-131)."""
+    out = model.apply(variables, images, labels)
+    per_user = jnp.mean((out - images) ** 2, axis=tuple(range(1, images.ndim)))
+    return jnp.mean(per_user)
+
+
+def multiband_loss(model: SOMANet, variables, band_images: dict, band_labels: dict,
+                   freq_weight: Optional[dict] = None) -> jnp.ndarray:
+    """'multi-band' mode: frequency-weighted per-band mse
+    (Trainer.py:133-144)."""
+    total, scaler = 0.0, 0.0
+    for f, imgs in band_images.items():
+        w = 1.0 if freq_weight is None else freq_weight[f]
+        out = model.apply(variables, imgs, band_labels[f])
+        total = total + w * jnp.mean((out - imgs) ** 2)
+        scaler += w
+    return total / scaler
+
+
+def distill_loss(model: SOMANet, student_vars, teacher_vars, images, labels,
+                 decay: float = 0.1) -> jnp.ndarray:
+    """Distillation: student-vs-input + decay * student-vs-teacher
+    (Trainer.py distill :157-167)."""
+    out_s = model.apply(student_vars, images, labels)
+    out_t = jax.lax.stop_gradient(model.apply(teacher_vars, images, labels))
+    return jnp.mean((out_s - images) ** 2) + decay * jnp.mean((out_s - out_t) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Train step
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: dict
+    batch_stats: dict
+    opt_state: optax.OptState
+    step: int = 0
+
+
+class Trainer:
+    """jit/pjit-compiled SOMANet training (the reference trains with a
+    hand-rolled torch loop; here one optax update, shardable over a data
+    mesh)."""
+
+    def __init__(self, model: SOMANet, learning_rate: float = 1e-4,
+                 mesh=None, user_num: int = 2, img_size: int = 48,
+                 batch_size: int = 2, seed: int = 0):
+        self.model = model
+        self.tx = optax.adam(learning_rate)
+        self.mesh = mesh
+
+        key = jax.random.key(seed)
+        dummy_img = jnp.zeros((user_num, batch_size, img_size, img_size, 3))
+        dummy_lab = jnp.zeros((user_num, 256))
+        variables = model.init(key, dummy_img, dummy_lab)
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.tx.init(variables["params"]),
+        )
+
+        def loss_fn(params, batch_stats, images, labels):
+            variables = {"params": params, "batch_stats": batch_stats}
+            # inference-mode BatchNorm (running stats), like the reference's
+            # eval-style codec use; batch_stats pass through unchanged
+            out = self.model.apply(variables, images, labels)
+            loss = jnp.mean((out - images) ** 2) / images.shape[0]
+            return loss, batch_stats
+
+        def step(state_params, state_stats, opt_state, images, labels):
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state_params, state_stats, images, labels)
+            updates, new_opt = self.tx.update(grads, opt_state, state_params)
+            new_params = optax.apply_updates(state_params, updates)
+            return new_params, new_stats, new_opt, loss
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            # data-parallel over the per-user batch axis; parameters
+            # replicated (the codec fits on one chip; dp is the win)
+            self._data_sharding = NamedSharding(mesh, P(None, "data"))
+            self._step = jax.jit(step)
+        else:
+            self._data_sharding = None
+            self._step = jax.jit(step)
+
+    def train_step(self, images: np.ndarray, labels: np.ndarray) -> float:
+        images = jnp.asarray(images)
+        labels = jnp.asarray(labels)
+        if self._data_sharding is not None:
+            images = jax.device_put(images, self._data_sharding)
+        p, s, o, loss = self._step(
+            self.state.params, self.state.batch_stats, self.state.opt_state,
+            images, labels)
+        self.state = TrainState(p, s, o, self.state.step + 1)
+        return float(loss)
+
+    # -- checkpointing (orbax) -------------------------------------------
+
+    def save(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, {"params": self.state.params,
+                          "batch_stats": self.state.batch_stats,
+                          "step": np.asarray(self.state.step)}, force=True)
+        ckptr.wait_until_finished()
+
+    def restore(self, path: str):
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        tpl = {"params": self.state.params,
+               "batch_stats": self.state.batch_stats,
+               "step": np.asarray(self.state.step)}
+        restored = ckptr.restore(path, tpl)
+        self.state = TrainState(restored["params"], restored["batch_stats"],
+                                self.state.opt_state, int(restored["step"]))

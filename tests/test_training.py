@@ -1,0 +1,142 @@
+"""SOMANet / trainer / validation / metrics tests."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnuradio_wifi_imagetransfer_tpu.models.somanet import (
+    SOMANet, complexify, decomplexify, pe_labels, power_norm,
+)
+from gnuradio_wifi_imagetransfer_tpu.utils import metrics
+from gnuradio_wifi_imagetransfer_tpu.utils.trainer import Environment, Trainer
+from gnuradio_wifi_imagetransfer_tpu.utils.validation import evaluate, evaluate_soma
+
+IMG = 48
+U, B = 2, 2
+
+
+@pytest.fixture(scope="module")
+def soma():
+    model = SOMANet(compressed_channel=128, img_size=IMG, n_irs=16)
+    key = jax.random.key(0)
+    images = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (U, B, IMG, IMG, 3)).astype(np.float32))
+    labels = jnp.asarray(pe_labels(["3-4", "13-10"]))
+    variables = model.init(key, images, labels)
+    return model, variables, images, labels
+
+
+def test_somanet_forward_shapes(soma):
+    model, variables, images, labels = soma
+    out = model.apply(variables, images, labels)
+    assert out.shape == (U, B, IMG, IMG, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_somanet_physics_forward(soma):
+    model, variables, images, labels = soma
+    rng = np.random.default_rng(1)
+    envs_tx = jnp.asarray((rng.standard_normal((U, 16, 1))
+                           + 1j * rng.standard_normal((U, 16, 1))) / np.sqrt(2))
+    envs_rx = jnp.asarray((rng.standard_normal((U, 16, 1))
+                           + 1j * rng.standard_normal((U, 16, 1))) / np.sqrt(2))
+    out = model.apply(variables, images, labels, envs_tx, envs_rx,
+                      jax.random.key(2), 20.0, method=SOMANet.forward_physics)
+    assert out.shape == (U, B, IMG, IMG, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_complexify_roundtrip():
+    x = np.random.default_rng(0).standard_normal((3, 10)).astype(np.float32)
+    z = complexify(jnp.asarray(x))
+    back = np.asarray(decomplexify(z))
+    np.testing.assert_allclose(back, x, atol=1e-7)
+
+
+def test_power_norm_matches_reference_formula():
+    rng = np.random.default_rng(1)
+    f = jnp.asarray(rng.standard_normal((2, 8)) + 1j * rng.standard_normal((2, 8)))
+    out = np.asarray(power_norm(f, p=1.0))
+    mod = np.sum(np.abs(np.asarray(f)) ** 2, axis=1, keepdims=True)
+    ref = np.sqrt(8.0) * np.asarray(f) / mod
+    np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_environment_reset_and_graph():
+    env = Environment(user_num=2, irs_scale=4, dynamic_position=True)
+    (h_r2b, h_u2r, h_d), snr = env.reset(jax.random.key(0))
+    assert h_r2b.shape == (1, 16) and h_u2r.shape == (16, 2) and h_d.shape == (1, 2)
+    assert len(snr) == 2
+    graph, edges = env.get_pos()
+    assert graph.shape == (4, 3) and edges.shape == (2, 16)
+    # dynamic positions change across resets
+    p1 = env.usr_pos.copy()
+    env.reset(jax.random.key(1))
+    assert not np.allclose(p1, env.usr_pos)
+
+
+def test_train_step_descends_and_checkpoints():
+    model = SOMANet(compressed_channel=32, img_size=16, n_irs=4)
+    tr = Trainer(model, learning_rate=1e-3, user_num=2, img_size=16, batch_size=2)
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((2, 2, 16, 16, 3)).astype(np.float32) * 0.3
+    labels = pe_labels(["3-4", "13-10"])[:, :256]
+    losses = [tr.train_step(images, labels) for _ in range(8)]
+    assert losses[-1] < losses[0], losses
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt")
+        tr.save(path)
+        step_before = tr.state.step
+        tr2 = Trainer(model, learning_rate=1e-3, user_num=2, img_size=16, batch_size=2)
+        tr2.restore(path)
+        assert tr2.state.step == step_before
+        l1 = tr.train_step(images, labels)
+        l2 = tr2.train_step(images, labels)
+        assert np.isclose(l1, l2, rtol=1e-4)
+
+
+def test_metrics_psnr_ssim():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
+    assert metrics.psnr(a, a) > 80          # epsilon-floored perfect match
+    noisy = np.clip(a.astype(int) + rng.integers(-10, 10, a.shape), 0, 255).astype(np.uint8)
+    p = metrics.psnr(a, noisy)
+    assert 25 < p < 45
+    s_same = metrics.ssim(a[0], a[0], channel_axis=2)
+    assert s_same > 0.999
+    s_noisy = metrics.ssim(a[0], noisy[0], channel_axis=2)
+    assert 0.2 < s_noisy < s_same
+
+
+def test_rgb2ycbcr_known_values():
+    white = np.full((1, 1, 3), 255, dtype=np.uint8)
+    y = metrics.rgb2ycbcr(white)
+    assert abs(int(y[0, 0, 0]) - 235) <= 1   # studio-swing white
+    assert abs(int(y[0, 0, 1]) - 128) <= 1
+
+
+def test_snr_estimate():
+    rng = np.random.default_rng(0)
+    from gnuradio_wifi_imagetransfer_tpu.phy import params
+
+    pts = params.constellation(2)
+    syms = pts[rng.integers(0, 4, 4000)]
+    noise = 0.05 * (rng.standard_normal(4000) + 1j * rng.standard_normal(4000))
+    est = metrics.snr_estimate_db(syms + noise, mcs=2)
+    true = 10 * np.log10(1.0 / np.mean(np.abs(noise) ** 2))
+    assert abs(est - true) < 1.5
+
+
+def test_evaluate_harness(soma):
+    model, variables, images, labels = soma
+    batches = [np.asarray(images[0])] * 2
+    val = evaluate(lambda x: x, batches, metric="PSNR")   # identity: epsilon floor
+    assert val > 80
+    res = evaluate_soma(
+        lambda imgs, labs: model.apply(variables, jnp.asarray(imgs), jnp.asarray(labs)),
+        [np.asarray(images)], np.asarray(labels))
+    assert set(res.keys()) == {0, 1}
