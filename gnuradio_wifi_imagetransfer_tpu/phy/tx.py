@@ -69,10 +69,7 @@ class TxPlan:
         return (4 + 1 + self.n_sym) * params.N_SYM + 1
 
 
-@functools.lru_cache(maxsize=64)
-def _jitted_tx(mcs: int, psdu_len: int):
-    plan = TxPlan(mcs, psdu_len)
-
+def _tx_body(plan: TxPlan):
     def tx(psdu: jnp.ndarray, scrambler_seed: jnp.ndarray) -> jnp.ndarray:
         batch = psdu.shape[:-1]
         data_bits = bitops.bytes_to_bits(psdu)                     # (..., 8L)
@@ -97,7 +94,25 @@ def _jitted_tx(mcs: int, psdu_len: int):
         data_freq = ofdm.allocate_carriers(syms, symbol_index0=1)
         return ofdm.assemble_burst(sig_freq, data_freq)            # (..., n_samples)
 
-    return jax.jit(tx), plan
+    return tx
+
+
+def transmit_traced(psdu: jnp.ndarray, plan: TxPlan,
+                    scrambler_seed: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Traceable TX for use INSIDE jitted programs (e.g. the loopback
+    radio): (B, L) uint8 -> (B, n_samples) complex64. Per-frame scrambler
+    seeds default to 1..B (mod 127), like the reference mapper's counter.
+    """
+    b = psdu.shape[0]
+    if scrambler_seed is None:
+        scrambler_seed = (jnp.arange(b, dtype=jnp.int32) % 127) + 1
+    return jax.vmap(_tx_body(plan))(psdu, scrambler_seed)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_tx(mcs: int, psdu_len: int):
+    plan = TxPlan(mcs, psdu_len)
+    return jax.jit(_tx_body(plan)), plan
 
 
 def transmit(psdu: jnp.ndarray, mcs: int, scrambler_seed: int | jnp.ndarray = 1) -> jnp.ndarray:

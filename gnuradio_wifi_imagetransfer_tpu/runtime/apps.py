@@ -1,0 +1,436 @@
+"""Web applications: image / feature-map senders and receivers.
+
+Stdlib rebuilds of the reference's four Flask/Flask-SocketIO apps (the
+image is missing flask/eventlet; http.server + Server-Sent Events replace
+SocketIO pushes):
+
+  SenderApp            = upload_image_udp.py      (Mode 2 TX, port 5000)
+  ReceiverApp          = download_image_udp.py    (Mode 2 RX, port 5001)
+  FeatureMapSenderApp  = upload_featuremap_udp.py (Mode 1 TX)
+  FeatureMapReceiverApp= download_featuremap_udp.py (Mode 1 RX)
+
+Behavioral parity:
+  * senders resize to 300x300 (Mode 2) / fuse two 240x240 images through
+    the JSCE codec (Mode 1), detach into shuffled pieces, and re-send the
+    piece list forever at 0.05 s spacing until stopped
+    (upload_image_udp.py:19-34);
+  * receivers bind UDP 10010, accumulate pieces into a persistent canvas
+    (uint8 image or (30,30,128) float latent), and push base64 JPEG
+    updates to the browser (download_image_udp.py:25-61,
+    download_featuremap_udp.py:30-69, decode every 3rd piece);
+  * the Mode-1 receiver's user id is selectable from the UI
+    (featuremap_receiver.html:16).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import pickle
+import queue
+import socket
+import struct
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from gnuradio_wifi_imagetransfer_tpu.config import AppConfig
+from gnuradio_wifi_imagetransfer_tpu.utils import image as imgutil
+
+_SENDER_HTML = """<!doctype html><html><head><title>{title}</title></head>
+<body><h2>{title}</h2>
+<form action="/send_image" method="post" enctype="multipart/form-data">
+{inputs}
+<button type="submit">Send</button></form>
+<form action="/stop" method="post"><button type="submit">Stop</button></form>
+<p>{status}</p></body></html>"""
+
+_RECEIVER_HTML = """<!doctype html><html><head><title>{title}</title></head>
+<body><h2>{title}</h2>{controls}
+<img id="im" width="300" height="300" style="image-rendering:pixelated"/>
+<script>
+const es = new EventSource('/events');
+es.onmessage = (e) => {{
+  const d = JSON.parse(e.data);
+  document.getElementById('im').src = 'data:image/jpeg;base64,' + d.image;
+}};
+</script></body></html>"""
+
+
+def _jpeg_b64(arr: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+class _AppServer:
+    """Threaded HTTP server wrapper with clean start/stop."""
+
+    def __init__(self, handler_cls, host: str = "127.0.0.1", port: int = 0):
+        self.httpd = ThreadingHTTPServer((host, port), handler_cls)
+        self.httpd.app = self            # handlers reach the app via server.app
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Senders
+# ---------------------------------------------------------------------------
+
+
+class _PieceSender:
+    """The infinite shuffled re-send loop (upload_image_udp.py:19-34)."""
+
+    def __init__(self, pieces, host: str, port: int, interval: float):
+        self.pieces = pieces
+        self.addr = (host, port)
+        self.interval = interval
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self.laps = 0
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def _run(self):
+        with socket.socket(socket.AF_INET, socket.SOCK_DGRAM) as s:
+            while not self._stop.is_set():
+                for piece in self.pieces:
+                    if self._stop.is_set():
+                        return
+                    s.sendto(imgutil.encode_piece(piece), self.addr)
+                    time.sleep(self.interval)
+                self.laps += 1
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=2.0)
+
+
+class SenderApp(_AppServer):
+    """Mode-2 image sender (upload_image_udp.py)."""
+
+    def __init__(self, cfg: AppConfig = AppConfig(), http_port: int = 0):
+        self.cfg = cfg
+        self.sender: _PieceSender | None = None
+        super().__init__(_make_sender_handler(self), port=http_port)
+
+    def send_image(self, image: np.ndarray):
+        """Start (or restart) the re-send loop for one image."""
+        from PIL import Image
+
+        if not isinstance(image, np.ndarray):
+            image = np.asarray(image)
+        img = np.asarray(
+            Image.fromarray(image).resize(self.cfg.image_size), dtype=np.uint8)
+        pieces = imgutil.detach_image(img, self.cfg.piece_size)
+        self.stop_sending()
+        self.sender = _PieceSender(pieces, self.cfg.tx_host, self.cfg.tx_port,
+                                   self.cfg.piece_interval_s).start()
+
+    def stop_sending(self):
+        if self.sender is not None:
+            self.sender.stop()
+            self.sender = None
+
+    def stop(self):
+        self.stop_sending()
+        super().stop()
+
+
+class FeatureMapSenderApp(_AppServer):
+    """Mode-1 fused-feature-map sender (upload_featuremap_udp.py): encodes
+    TWO images for the hard-coded users TARGET=['3-4','13-10'] (:22) into
+    one mean-superposed latent and streams its pieces."""
+
+    TARGET = ["3-4", "13-10"]
+
+    def __init__(self, codec, cfg: AppConfig = AppConfig(), http_port: int = 0):
+        self.cfg = cfg
+        self.codec = codec
+        self.sender: _PieceSender | None = None
+        super().__init__(_make_sender_handler(self, n_images=2), port=http_port)
+
+    def send_image(self, img1, img2):
+        latent = self.codec.img2msg({self.TARGET[0]: img1, self.TARGET[1]: img2})
+        pieces = imgutil.detach_image(latent, self.cfg.piece_size)
+        self.stop_sending()
+        self.sender = _PieceSender(pieces, self.cfg.tx_host, self.cfg.tx_port,
+                                   self.cfg.piece_interval_s).start()
+
+    def stop_sending(self):
+        if self.sender is not None:
+            self.sender.stop()
+            self.sender = None
+
+    def stop(self):
+        self.stop_sending()
+        super().stop()
+
+
+def _make_sender_handler(app, n_images: int = 1):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            inputs = "".join(
+                f'<input type="file" name="image{i}"/><br/>' for i in range(n_images))
+            body = _SENDER_HTML.format(title=type(app).__name__, inputs=inputs,
+                                       status="sending" if app.sender else "idle")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(body.encode())
+
+        def do_POST(self):
+            if self.path == "/stop":
+                app.stop_sending()
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(b"stopped")
+                return
+            if self.path == "/send_image":
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
+                try:
+                    imgs = _parse_multipart_images(self.headers, data, n_images)
+                    app.send_image(*imgs)
+                    self.send_response(200)
+                    self.end_headers()
+                    self.wfile.write(b"sending")
+                except Exception as e:
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(str(e).encode())
+                return
+            self.send_response(404)
+            self.end_headers()
+
+    return Handler
+
+
+def _parse_multipart_images(headers, data: bytes, n_images: int):
+    """Minimal multipart/form-data parser for file fields."""
+    from PIL import Image
+
+    ctype = headers.get("Content-Type", "")
+    if "boundary=" not in ctype:
+        raise ValueError("expected multipart/form-data")
+    boundary = ctype.split("boundary=")[1].strip().encode()
+    parts = data.split(b"--" + boundary)
+    images = []
+    for part in parts:
+        if b"\r\n\r\n" not in part or b"filename=" not in part:
+            continue
+        payload = part.split(b"\r\n\r\n", 1)[1].rstrip(b"\r\n-")
+        images.append(Image.open(io.BytesIO(payload)).convert("RGB"))
+    if len(images) < n_images:
+        raise ValueError(f"need {n_images} image file(s), got {len(images)}")
+    return [np.asarray(im) for im in images[:n_images]]
+
+
+# ---------------------------------------------------------------------------
+# Receivers
+# ---------------------------------------------------------------------------
+
+
+class _SseHub:
+    """Fan-out of JSON events to connected SSE clients."""
+
+    def __init__(self):
+        self._clients: list[queue.Queue] = []
+        self._lock = threading.Lock()
+
+    def subscribe(self) -> queue.Queue:
+        q: queue.Queue = queue.Queue(maxsize=4)
+        with self._lock:
+            self._clients.append(q)
+        return q
+
+    def unsubscribe(self, q):
+        with self._lock:
+            if q in self._clients:
+                self._clients.remove(q)
+
+    def publish(self, event: dict):
+        with self._lock:
+            clients = list(self._clients)
+        for q in clients:
+            try:
+                q.put_nowait(event)
+            except queue.Full:
+                pass
+
+
+class _ReceiverBase(_AppServer):
+    def __init__(self, cfg: AppConfig, http_port: int, rx_port: int | None):
+        self.cfg = cfg
+        self.hub = _SseHub()
+        self.last_image_b64: str | None = None
+        self.pieces_received = 0
+        self._stop_evt = threading.Event()
+        self.rx_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.rx_sock.bind((cfg.rx_host, cfg.rx_port if rx_port is None else rx_port))
+        self.rx_sock.settimeout(1.0)            # download_image_udp.py:32
+        self.rx_port = self.rx_sock.getsockname()[1]
+        self._rx_thread = threading.Thread(target=self._rx_loop, daemon=True)
+        super().__init__(_make_receiver_handler(self), port=http_port)
+
+    def start(self):
+        super().start()
+        self._rx_thread.start()
+        return self
+
+    def stop(self):
+        self._stop_evt.set()
+        self._rx_thread.join(timeout=2.0)
+        self.rx_sock.close()
+        super().stop()
+
+    def _rx_loop(self):
+        while not self._stop_evt.is_set():
+            try:
+                data, _ = self.rx_sock.recvfrom(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            try:
+                # radio path delivers bare pickles (prefix stripped by the
+                # Extract-Pics contract); a direct app-to-app wire still
+                # carries the 4-byte "=L" length prefix — accept both
+                try:
+                    piece = pickle.loads(data)
+                except Exception:
+                    piece = imgutil.decode_piece(data)
+                self._handle_piece(piece)
+            except Exception:
+                continue                      # broad-except like the reference
+
+    def _publish(self, arr: np.ndarray):
+        b64 = _jpeg_b64(arr)
+        self.last_image_b64 = b64
+        self.hub.publish({"image": b64})
+
+    def _handle_piece(self, piece):
+        raise NotImplementedError
+
+
+class ReceiverApp(_ReceiverBase):
+    """Mode-2 image receiver (download_image_udp.py): persistent 300x300x3
+    canvas, redraw each piece, push update."""
+
+    def __init__(self, cfg: AppConfig = AppConfig(), http_port: int = 0,
+                 rx_port: int | None = None):
+        super().__init__(cfg, http_port, rx_port)
+        h, w = cfg.image_size
+        self.canvas = np.zeros((h, w, 3), dtype=np.uint8)
+
+    def _handle_piece(self, piece):
+        imgutil.redraw_image(piece, self.canvas, self.cfg.piece_size)
+        self.pieces_received += 1
+        self._publish(self.canvas)
+
+
+class FeatureMapReceiverApp(_ReceiverBase):
+    """Mode-1 receiver (download_featuremap_udp.py): (30,30,128) float32
+    accumulator; every 3rd piece runs codec.msg2img for the selected user
+    (:59-69) and pushes the reconstruction."""
+
+    def __init__(self, codec, user_id: str = "3-4", latent_shape=(30, 30, 128),
+                 decode_every: int = 3, cfg: AppConfig = AppConfig(),
+                 http_port: int = 0, rx_port: int | None = None):
+        super().__init__(cfg, http_port, rx_port)
+        self.codec = codec
+        self.user_id = user_id
+        self.feature_map = np.zeros(latent_shape, dtype=np.float32)
+        self.decode_every = decode_every
+
+    def _handle_piece(self, piece):
+        imgutil.redraw_image(piece, self.feature_map, self.cfg.piece_size)
+        self.pieces_received += 1
+        if self.pieces_received % self.decode_every == 0:
+            rec = np.asarray(self.codec.msg2img(self.feature_map, self.user_id))
+            self._publish(rec)
+
+
+def _make_receiver_handler(app):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/":
+                controls = ""
+                if isinstance(app, FeatureMapReceiverApp):
+                    controls = (f'<p>user id: <input id="uid" value="{app.user_id}"/>'
+                                '<button onclick="fetch(\'/set_user?id=\'+document.getElementById(\'uid\').value, {method:\'POST\'})">set</button></p>')
+                body = _RECEIVER_HTML.format(title=type(app).__name__, controls=controls)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(body.encode())
+                return
+            if self.path == "/events":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                q = app.hub.subscribe()
+                try:
+                    if app.last_image_b64:
+                        self.wfile.write(
+                            f"data: {json.dumps({'image': app.last_image_b64})}\n\n".encode())
+                        self.wfile.flush()
+                    while True:
+                        try:
+                            ev = q.get(timeout=1.0)
+                        except queue.Empty:
+                            self.wfile.write(b": keepalive\n\n")
+                            self.wfile.flush()
+                            continue
+                        self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode())
+                        self.wfile.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    pass
+                finally:
+                    app.hub.unsubscribe(q)
+                return
+            if self.path == "/status":
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps(
+                    {"pieces_received": app.pieces_received}).encode())
+                return
+            self.send_response(404)
+            self.end_headers()
+
+        def do_POST(self):
+            if self.path.startswith("/set_user") and isinstance(app, FeatureMapReceiverApp):
+                from urllib.parse import parse_qs, urlparse
+
+                qs = parse_qs(urlparse(self.path).query)
+                app.user_id = qs.get("id", [app.user_id])[0]
+                self.send_response(200)
+                self.end_headers()
+                return
+            self.send_response(404)
+            self.end_headers()
+
+    return Handler

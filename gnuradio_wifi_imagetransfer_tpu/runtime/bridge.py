@@ -1,0 +1,210 @@
+"""Socket-PDU UDP bridge and the software loopback radio.
+
+Replaces the reference's process topology (SURVEY.md §1 control/data-plane
+split) with drop-in port compatibility:
+
+  app --UDP 52001--> [radio] --UDP 10010--> app
+
+* UdpSource  = network.socket_pdu('UDP_SERVER', '', 52001, 10000)
+  (IRS_user.grc:299-318): each datagram becomes one MAC payload.
+* UdpSink    = the "Extract Pics" embedded block (IRS_AP_epy_block_2.py:
+  27-41): strips the 24-byte MAC header + 4-byte length prefix and
+  forwards the payload to localhost:10010.
+* LoopbackRadio = the IRS_tranceiver flowgraph (SURVEY.md §3.5): MAC ->
+  802.11a TX -> multiply 10^(snr/20) -> channel_model -> full RX (sync +
+  decode) -> MAC parse -> UDP out, with the whole PHY running as one
+  batched jit on the accelerator. Datagrams are micro-batched so the
+  device sees frame batches, not single frames.
+"""
+
+from __future__ import annotations
+
+import queue
+import socket
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from gnuradio_wifi_imagetransfer_tpu.config import AppConfig, PhyConfig
+from gnuradio_wifi_imagetransfer_tpu.phy import mac as macmod
+
+
+class UdpSource:
+    """UDP server socket -> payload queue (socket_pdu equivalent)."""
+
+    def __init__(self, host: str = "0.0.0.0", port: int = 52001, mtu: int = 10000):
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind((host, port))
+        self.sock.settimeout(0.2)
+        self.port = self.sock.getsockname()[1]
+        self.q: "queue.Queue[bytes]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self.mtu = mtu
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                data, _ = self.sock.recvfrom(self.mtu)
+                self.q.put(data)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+
+    def drain(self, max_items: int, timeout: float = 0.05) -> list[bytes]:
+        """Collect up to max_items pending datagrams (micro-batching)."""
+        out = []
+        deadline = time.monotonic() + timeout
+        while len(out) < max_items:
+            try:
+                remaining = max(deadline - time.monotonic(), 0)
+                out.append(self.q.get(timeout=remaining if not out else 0.0))
+            except queue.Empty:
+                break
+        return out
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=1.0)
+        self.sock.close()
+
+
+class UdpSink:
+    """MAC payload -> strip 4-byte prefix -> UDP sendto (Extract Pics)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 10010):
+        self.addr = (host, port)
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def send_mac_payload(self, payload: bytes):
+        """payload = MPDU body after the 24-byte header; the sender's
+        4-byte length prefix is dropped (IRS_AP_epy_block_2.py:34-38)."""
+        self.sock.sendto(payload[4:], self.addr)
+
+    def close(self):
+        self.sock.close()
+
+
+class LoopbackRadio:
+    """Software transceiver: UDP in -> 802.11a PHY loopback -> UDP out.
+
+    Equivalent to running IRS_tranceiver.grc (SURVEY.md §4.1): the de-facto
+    integration harness, with SNR/CFO knobs matching its GUI sliders
+    (snr 20-30 dB, epsilon +-20e-6; IRS_tranceiver.py:98,121).
+    """
+
+    def __init__(
+        self,
+        in_port: int = 52001,
+        out_host: str = "127.0.0.1",
+        out_port: int = 10010,
+        mcs: int = 3,                    # loopback default QPSK 3/4 (IRS_tranceiver.py:91)
+        snr_db: float = 22.0,
+        epsilon: float = 0.0,
+        phy_cfg: PhyConfig = PhyConfig(),
+        batch: int = 8,
+        seed: int = 0,
+    ):
+        self.source = UdpSource(port=in_port)
+        self.sink = UdpSink(out_host, out_port)
+        self.mcs = mcs
+        self.snr_db = snr_db
+        self.epsilon = epsilon
+        self.cfg = phy_cfg
+        self.batch = batch
+        self.mac = macmod.Mac()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._rng = np.random.default_rng(seed)
+        self.stats = {"datagrams_in": 0, "frames_ok": 0, "frames_crc_fail": 0}
+
+    @property
+    def in_port(self) -> int:
+        return self.source.port
+
+    def start(self):
+        self.source.start()
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        self.source.stop()
+        self.sink.close()
+
+    # -- the radio loop ----------------------------------------------------
+
+    def _run(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gnuradio_wifi_imagetransfer_tpu.channel import model as chmodel
+        from gnuradio_wifi_imagetransfer_tpu.phy import sync, tx
+        from gnuradio_wifi_imagetransfer_tpu.utils.xfer import from_riq, to_host, to_riq
+
+        jitted = {}
+
+        def process(payloads: list[bytes]):
+            # bucket by equal length so shapes stay static per compile
+            by_len: dict[int, list[bytes]] = {}
+            for p in payloads:
+                by_len.setdefault(len(p), []).append(p)
+            for ln, group in by_len.items():
+                # pad to the fixed batch size (repeat last payload) so each
+                # (mcs, length) bucket compiles exactly once; duplicate
+                # decodes are harmless to the idempotent piece receiver
+                n_real = len(group)
+                while len(group) < self.batch:
+                    group.append(group[-1])
+                mpdus = np.stack([
+                    np.frombuffer(self.mac.frame(p), dtype=np.uint8) for p in group
+                ])
+                L = mpdus.shape[1]
+                key = (self.mcs, L, mpdus.shape[0])
+                if key not in jitted:
+                    plan = tx.tx_plan(self.mcs, L)
+
+                    def radio_fn(mpdus_in, noise_key, plan=plan):
+                        bursts = tx.transmit_traced(mpdus_in, plan)
+                        stream = tx.pad_burst(bursts, 100, 400, scale=0.6).reshape(-1)
+                        foff = chmodel.epsilon_to_frequency_offset(self.epsilon, self.cfg.frequency)
+                        y = chmodel.channel_model(
+                            noise_key, stream, noise_voltage=1.0,
+                            frequency_offset=foff, snr_db=self.snr_db)
+                        res, cand = sync.receive(y, plan, max_frames=2 * mpdus_in.shape[0],
+                                                 cfg=self.cfg)
+                        return (res.psdu,
+                                cand.valid.astype(jnp.uint8),
+                                res.sig["parity_ok"].astype(jnp.uint8))
+
+                    jitted[key] = jax.jit(radio_fn)
+                fn = jitted[key]
+                k = jax.random.key(int(self._rng.integers(0, 2**31)))
+                psdu, valid, parity = map(np.asarray, fn(jnp.asarray(mpdus), k))
+                for i in range(psdu.shape[0]):
+                    if not (valid[i] and parity[i]):
+                        continue
+                    frame = macmod.parse(psdu[i].tobytes())
+                    if not frame.fcs_ok:
+                        self.stats["frames_crc_fail"] += 1
+                        continue
+                    self.stats["frames_ok"] += 1
+                    self.sink.send_mac_payload(frame.payload)
+
+        while not self._stop.is_set():
+            payloads = self.source.drain(self.batch, timeout=0.1)
+            if not payloads:
+                continue
+            self.stats["datagrams_in"] += len(payloads)
+            try:
+                process(payloads)
+            except Exception as e:  # keep the radio alive on bad input
+                print(f"LoopbackRadio: dropped batch ({type(e).__name__}: {e})")

@@ -1,0 +1,140 @@
+"""Runtime-layer tests: socket demo, loopback radio, web apps, and the
+full reference topology (sender app -> radio -> receiver app) end to end.
+"""
+
+import json
+import socket
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from gnuradio_wifi_imagetransfer_tpu.config import AppConfig
+from gnuradio_wifi_imagetransfer_tpu.runtime import socket_demo
+from gnuradio_wifi_imagetransfer_tpu.runtime.apps import ReceiverApp, SenderApp
+from gnuradio_wifi_imagetransfer_tpu.runtime.bridge import LoopbackRadio
+from gnuradio_wifi_imagetransfer_tpu.utils import image as imgutil
+
+
+def _free_port():
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_socket_demo_roundtrip():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (30, 30, 3), dtype=np.uint8)
+    server = socket_demo.PieceServer(img).start()
+    got = socket_demo.receive_image("127.0.0.1", server.port)
+    server.join()
+    assert np.array_equal(got, img)
+
+
+def test_loopback_radio_end_to_end():
+    """Pieces -> UDP 'app->radio' port -> MAC+PHY+channel+RX on device ->
+    UDP 'radio->app' port -> rebuilt image. The IRS_tranceiver workflow."""
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    pieces = imgutil.detach_image(img, rng=rng)       # 12 pieces
+
+    out_port = _free_port()
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", out_port))
+    rx.settimeout(30.0)
+
+    radio = LoopbackRadio(in_port=0, out_port=out_port, mcs=3,
+                          snr_db=25.0, epsilon=5e-6, batch=4).start()
+    try:
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for p in pieces:
+            tx.sendto(imgutil.encode_piece(p), ("127.0.0.1", radio.in_port))
+            time.sleep(0.01)
+        canvas = np.zeros_like(img)
+        seen = set()
+        deadline = time.time() + 120
+        while len(seen) < len(pieces) and time.time() < deadline:
+            try:
+                data, _ = rx.recvfrom(65536)
+            except socket.timeout:
+                break
+            # the radio already stripped the 4-byte prefix; datagram is a
+            # bare pickled piece
+            import pickle
+            piece = pickle.loads(data)
+            imgutil.redraw_image(piece, canvas)
+            seen.add(piece[0])
+        assert len(seen) == len(pieces), f"only {len(seen)}/{len(pieces)} pieces"
+        assert np.array_equal(canvas, img)
+        assert radio.stats["frames_ok"] >= len(pieces)
+    finally:
+        radio.stop()
+        rx.close()
+
+
+def test_apps_direct_wire():
+    """SenderApp -> (UDP, no radio) -> ReceiverApp: canvas converges and
+    the HTTP endpoints respond."""
+    rx_port = _free_port()
+    cfg = AppConfig(tx_port=rx_port, image_size=(20, 20),
+                    piece_interval_s=0.002)
+    receiver = ReceiverApp(cfg=cfg, rx_port=rx_port).start()
+    sender = SenderApp(cfg=cfg)
+    sender.start()
+    try:
+        rng = np.random.default_rng(2)
+        img = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        sender.send_image(img)
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{receiver.port}/status", timeout=5) as r:
+                n = json.loads(r.read())["pieces_received"]
+            if n >= 12:
+                break
+            time.sleep(0.1)
+        assert n >= 12
+        assert np.array_equal(receiver.canvas, img)
+        # root pages render
+        with urllib.request.urlopen(f"http://127.0.0.1:{sender.port}/", timeout=5) as r:
+            assert b"send_image" in r.read()
+        with urllib.request.urlopen(f"http://127.0.0.1:{receiver.port}/", timeout=5) as r:
+            assert b"EventSource" in r.read()
+        assert receiver.last_image_b64          # SSE payload was produced
+    finally:
+        sender.stop()
+        receiver.stop()
+
+
+@pytest.mark.slow
+def test_full_reference_topology():
+    """browser-less Mode 2: SenderApp -> UDP -> LoopbackRadio (802.11a over
+    simulated channel) -> UDP -> ReceiverApp, progressive convergence."""
+    out_port = _free_port()
+    cfg = AppConfig(tx_port=0, image_size=(20, 20), piece_interval_s=0.01)
+    radio = LoopbackRadio(in_port=0, out_port=out_port, mcs=2,
+                          snr_db=24.0, batch=4).start()
+    cfg = AppConfig(tx_port=radio.in_port, image_size=(20, 20),
+                    piece_interval_s=0.01)
+    receiver = ReceiverApp(cfg=cfg, rx_port=out_port).start()
+    sender = SenderApp(cfg=cfg)
+    sender.start()
+    try:
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+        sender.send_image(img)
+        deadline = time.time() + 150
+        while time.time() < deadline:
+            if np.array_equal(receiver.canvas, img):
+                break
+            time.sleep(0.5)
+        assert np.array_equal(receiver.canvas, img), (
+            f"canvas match {np.mean(receiver.canvas == img):.2%}, "
+            f"radio stats {radio.stats}")
+    finally:
+        sender.stop()
+        radio.stop()
+        receiver.stop()
