@@ -1,0 +1,71 @@
+"""BASELINE config[3]: JSCE fused-feature-map mode end to end.
+
+codec.img2msg (two users fused) -> float32 latent pieces -> MAC -> 802.11a
+PHY over AWGN -> sync/decode -> rebuild latent -> codec.msg2img per user.
+Mirrors the Mode-1 path (SURVEY.md §3.3/3.4) at reduced image size to keep
+CPU runtime sane; the latent transport must be BIT-exact (float payloads
+survive the PHY untouched), and per-user reconstructions must match a
+direct no-PHY decode exactly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gnuradio_wifi_imagetransfer_tpu.models.jsce import JSCE
+from gnuradio_wifi_imagetransfer_tpu.phy import mac, sync, tx
+from gnuradio_wifi_imagetransfer_tpu.utils import image as imgutil
+
+
+def test_mode1_jsce_over_phy():
+    img_hw = 80                         # latent 10x10x32 -> 32 pieces
+    jsce = JSCE(img_size=(img_hw, img_hw), compressed_channel=32)
+    rng = np.random.default_rng(0)
+    img_a = rng.integers(0, 256, (img_hw, img_hw, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 256, (img_hw, img_hw, 3), dtype=np.uint8)
+
+    users = ["3-4", "13-10"]            # upload_featuremap_udp.py TARGET
+    latent = jsce.img2msg({users[0]: img_a, users[1]: img_b})
+    assert latent.shape == (10, 10, 32) and latent.dtype == np.float32
+
+    # --- transport over the PHY -----------------------------------------
+    pieces = imgutil.detach_image(latent, rng=rng)
+    mac_tx = mac.Mac()
+    datagrams = [imgutil.encode_piece(p) for p in pieces]
+    assert len({len(d) for d in datagrams}) == 1
+    mpdus = np.stack([np.frombuffer(mac_tx.frame(d), np.uint8) for d in datagrams])
+    L = mpdus.shape[1]
+    mcs = 5                              # 16-QAM 3/4
+    bursts = tx.transmit(jnp.asarray(mpdus), mcs,
+                         scrambler_seed=jnp.asarray(np.arange(len(mpdus)) % 127 + 1))
+    stream = np.asarray(tx.pad_burst(bursts, 120, 280).reshape(-1))
+    noise = 0.5 * 10 ** (-28 / 20) / np.sqrt(2)
+    stream = stream + noise * (rng.standard_normal(stream.size)
+                               + 1j * rng.standard_normal(stream.size))
+    res, cand = sync.receive(jnp.asarray(stream.astype(np.complex64)),
+                             tx.tx_plan(mcs, L), max_frames=2 * len(pieces))
+    ok = np.array(cand.valid) & np.array(res.sig["parity_ok"])
+
+    rebuilt = np.zeros_like(latent)
+    n_drawn = 0
+    for row in np.array(res.psdu)[ok]:
+        f = mac.parse(row.tobytes())
+        if not f.fcs_ok:
+            continue
+        piece = imgutil.decode_piece(f.payload)
+        imgutil.redraw_image(piece, rebuilt)
+        n_drawn += 1
+    assert n_drawn >= len(pieces)
+    # float latent must survive the digital link bit-exactly
+    np.testing.assert_array_equal(rebuilt, latent)
+
+    # --- per-user reconstruction -----------------------------------------
+    for u in users:
+        direct = np.asarray(jsce.msg2img(latent, u))
+        via_phy = np.asarray(jsce.msg2img(rebuilt, u))
+        np.testing.assert_array_equal(via_phy, direct)
+        assert direct.shape == (img_hw, img_hw, 3)
+
+    # the two users decode to different images (PE labels separate them)
+    rec_a = np.asarray(jsce.msg2img(latent, users[0]))
+    rec_b = np.asarray(jsce.msg2img(latent, users[1]))
+    assert not np.array_equal(rec_a, rec_b)
