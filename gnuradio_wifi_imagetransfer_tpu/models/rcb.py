@@ -1,8 +1,11 @@
-"""Residual conv blocks: RCB (MobileNetV3-style, encoder) and RTCB
-(transposed-conv ResNet basic block with IGDN, decoder).
+"""Residual conv blocks — all four reference variants:
 
-Behavioral ports of codec/models/basic_blocks/RCB_DS.py:20-79 and
-codec/models/basic_blocks/RTCB.py:6-42 to Flax/NHWC.
+  * RCB     — MobileNetV3-style depthwise encoder block (RCB_DS.py:20-79)
+  * RTCB    — transposed-conv ResNet block with IGDN (RTCB.py:6-42)
+  * RCBGDN  — conv ResNet basic block with GDN + PReLU (RCB.py:6-41)
+  * RTCBDS  — MobileNetV3-style depthwise transposed block (RTCB_DS.py:20-90)
+
+Flax/NHWC throughout.
 """
 
 from __future__ import annotations
@@ -130,3 +133,106 @@ class RTCB(nn.Module):
             z = GDN(self.out_channel, inverse=True, name="skip_gdn")(z)
 
         return PReLU(self.out_channel, name="prelu_out")(y + z)
+
+
+class RCBGDN(nn.Module):
+    """ResNet basic block with GDN normalization (RCB.py:6-41):
+    Conv(3x3, s) -> GDN -> PReLU -> Conv(3x3, 1) -> GDN, plus a
+    Conv(1x1, s) + GDN shortcut when shape changes; final PReLU."""
+
+    in_channel: int = 3
+    out_channel: int = 128
+    stride: int = 2
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.stride
+        y = nn.Conv(self.out_channel, (3, 3), strides=(s, s),
+                    padding=[(1, 1), (1, 1)], name="conv1")(x)
+        y = GDN(self.out_channel, name="gdn1")(y)
+        y = PReLU(self.out_channel, name="prelu1")(y)
+        y = nn.Conv(self.out_channel, (3, 3), padding=[(1, 1), (1, 1)],
+                    name="conv2")(y)
+        y = GDN(self.out_channel, name="gdn2")(y)
+
+        z = x
+        if s != 1 or self.in_channel != self.out_channel:
+            z = nn.Conv(self.out_channel, (1, 1), strides=(s, s),
+                        name="skip_conv")(x)
+            z = GDN(self.out_channel, name="skip_gdn")(z)
+
+        return PReLU(self.out_channel, name="prelu_out")(y + z)
+
+
+class DepthwiseConvTransposeTorch(nn.Module):
+    """Depthwise ConvTranspose2d(k, stride, padding=pad,
+    output_padding=stride-1, groups=C) — each channel upsampled
+    independently, matching torch semantics via an input-dilated
+    depthwise convolution with the spatially flipped kernel."""
+
+    kernel_size: int = 3
+    stride: int = 2
+    pad: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s, p = self.kernel_size, self.stride, self.pad
+        out_pad = s - 1
+        c = x.shape[-1]
+        w = self.param("kernel", nn.initializers.xavier_uniform(), (k, k, 1, c))
+        lo = k - 1 - p
+        hi = k - 1 - p + out_pad
+        return jax.lax.conv_general_dilated(
+            x, jnp.flip(w, axis=(0, 1)),
+            window_strides=(1, 1),
+            padding=[(lo, hi), (lo, hi)],
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+
+class RTCBDS(nn.Module):
+    """expand(1x1 convT) -> depthwise(kxk convT, stride) -> pointwise
+    (1x1 convT), BN + Hardswish, with the three skip variants of
+    RTCB_DS.py:46-90. 1x1 stride-1 transposed convs are mathematically
+    plain 1x1 convs."""
+
+    kernel_size: int = 3
+    in_size: int = 128
+    expand_size: int = 256
+    out_size: int = 128
+    stride: int = 1
+    se: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        s = self.stride
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, name=name)
+
+        out = nn.Conv(self.expand_size, (1, 1), use_bias=False, name="conv1")(x)
+        out = hard_swish(bn("bn1")(out))
+        out = DepthwiseConvTransposeTorch(self.kernel_size, s, pad=1,
+                                          name="conv2")(out)
+        out = hard_swish(bn("bn2")(out))
+        if self.se:
+            out = SeModule(self.expand_size, name="semodule")(out, train)
+        out = nn.Conv(self.out_size, (1, 1), use_bias=False, name="conv3")(out)
+        out = bn("bn3")(out)
+
+        skip = x
+        if s == 1 and self.in_size != self.out_size:
+            skip = nn.Conv(self.out_size, (1, 1), use_bias=False,
+                           name="skip_conv0")(skip)
+            skip = bn("skip_bn0")(skip)
+        elif s == 2 and self.in_size != self.out_size:
+            skip = DepthwiseConvTransposeTorch(3, 2, pad=1, name="skip_conv0")(skip)
+            skip = bn("skip_bn0")(skip)
+            skip = nn.Conv(self.out_size, (1, 1), use_bias=True,
+                           name="skip_conv1")(skip)
+            skip = bn("skip_bn1")(skip)
+        elif s == 2 and self.in_size == self.out_size:
+            skip = DepthwiseConvTransposeTorch(3, 2, pad=1, name="skip_conv0")(skip)
+            skip = bn("skip_bn0")(skip)
+
+        return hard_swish(out + skip)

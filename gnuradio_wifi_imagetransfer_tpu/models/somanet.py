@@ -157,3 +157,99 @@ def pe_labels(csi_keys: list[str], csi_bound: int = 30) -> np.ndarray:
         h = int(np.clip(round(float(im)) + csi_bound, 0, 2 * csi_bound - 1))
         out.append(pe[:, w, h])
     return np.stack(out)
+
+
+class SOMANetPE(nn.Module):
+    """SOMANet_PE variant (codec/models/SOMANet_PE.py DMANet :33-156):
+    GDN-ResNet Encoder_PE/Decoder_PE around the always-on IRS physics
+    path. Users are scheduled as (tx, rx) channel-index pairs into a
+    bank of K environment vectors; each pair's PE label is looked up
+    from the CSI that the pair's own channels produce.
+
+    Deviation from the reference, by intent: the reflection applies
+    diag(Psi) to the IRS-summed signal (the physics), where the
+    reference's generated code broadcasts Psi row-wise
+    (SOMANet_PE.py:126-128), an expand/diag_embed slip that collapses
+    all IRS elements onto every row.
+    """
+
+    compressed_channel: int = 128
+    img_size: int = 240
+    n_irs: int = 16
+    p: float = 1.0
+    csi_bound: int = 30
+    snr_db: float = 20.0
+
+    def setup(self):
+        from gnuradio_wifi_imagetransfer_tpu.models.decoder import DecoderPE
+        from gnuradio_wifi_imagetransfer_tpu.models.encoder import EncoderPE
+
+        self.shared_encoder = EncoderPE(compressed_channel=self.compressed_channel)
+        self.shared_decoder = DecoderPE(compressed_channel=self.compressed_channel,
+                                        reconstruct_channel=3)
+        self.shared_phi = self.param(
+            "shared_phi", lambda k: 2 * 3.14 * jax.random.uniform(k, (self.n_irs,)))
+        self.pe_table = jnp.asarray(
+            positionalencoding2d(256, 2 * self.csi_bound, 2 * self.csi_bound))
+
+    def psi(self) -> jnp.ndarray:
+        return jnp.cos(self.shared_phi) + 1j * jnp.sin(self.shared_phi)
+
+    def get_chnl(self, env_tx: jnp.ndarray, env_rx: jnp.ndarray) -> jnp.ndarray:
+        """CSI = env_tx^T diag(Psi) env_rx (SOMANet_PE.py:80-85)."""
+        return env_tx.T @ (self.psi()[:, None] * env_rx)
+
+    def _pe_label(self, csi: jnp.ndarray) -> jnp.ndarray:
+        """PE[:, w, h] with w/h = clip(round(Re/Im CSI) + bound)
+        (SOMANet_PE.py:105-107). Gradients do not flow through the index
+        (the reference detaches)."""
+        b = self.csi_bound
+        w = jnp.clip(jnp.round(jax.lax.stop_gradient(jnp.real(csi))) + b,
+                     0, 2 * b - 1).astype(jnp.int32)
+        h = jnp.clip(jnp.round(jax.lax.stop_gradient(jnp.imag(csi))) + b,
+                     0, 2 * b - 1).astype(jnp.int32)
+        return self.pe_table[:, w, h]
+
+    def __call__(self, images: jnp.ndarray, pairs: jnp.ndarray,
+                 envs: jnp.ndarray, key: Optional[jax.Array] = None) -> jnp.ndarray:
+        """images (U, B, H, W, 3); pairs (U, 2) int indices into envs
+        (K, N, 1); returns per-user reconstructions (U, B, H, W, 3)
+        (SOMANet_PE.py:88-156)."""
+        u, b = images.shape[:2]
+        psi = self.psi()
+
+        signals, labels = [], []
+        for ui in range(u):
+            tx, rx = pairs[ui, 0], pairs[ui, 1]
+            csi = self.get_chnl(envs[tx], envs[rx])[0, 0]
+            label = self._pe_label(csi)
+            labels.append(label)
+            feature = self.shared_encoder(images[ui], label)
+            flat = feature.reshape(b, -1)
+            s = power_norm(complexify(flat), self.p)              # (B, n)
+            signals.append(s)
+
+        # merge & propagate: sum_u env_tx[u] x s_u at the IRS, reflect
+        env_tx = jnp.stack([envs[pairs[ui, 0], :, 0] for ui in range(u)])  # (U, N)
+        mssv = jnp.einsum("un,ubm->nbm", env_tx, jnp.stack(signals))
+        reflected = psi[:, None, None] * mssv                      # diag(Psi) @ .
+
+        hs = self.img_size // 8
+        outs = []
+        for ui in range(u):
+            tx, rx = pairs[ui, 0], pairs[ui, 1]
+            g_rx = envs[rx, :, 0]
+            recv = jnp.einsum("n,nbm->bm", g_rx, reflected)        # (B, n)
+            if key is not None:
+                kr, ki = jax.random.split(jax.random.fold_in(key, ui))
+                sigma = 10.0 ** (-self.snr_db / 10.0) * self.p
+                recv = recv + (jax.random.normal(kr, recv.shape)
+                               + 1j * jax.random.normal(ki, recv.shape)
+                               ) * (sigma / np.sqrt(2))
+            csi = self.get_chnl(envs[tx], envs[rx])[0, 0]
+            recv = recv / csi                                      # ZF (1x1 CSI inverse)
+            r = decomplexify(recv).reshape(b, hs, hs, self.compressed_channel)
+            norm = jnp.linalg.norm(r, axis=-1, keepdims=True)
+            r = r / jnp.maximum(norm, 1e-12)
+            outs.append(self.shared_decoder(r, labels[ui]))
+        return jnp.stack(outs)
