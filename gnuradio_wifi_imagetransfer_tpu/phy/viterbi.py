@@ -18,12 +18,28 @@ carry llr = 0 and thus do not influence the path.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from gnuradio_wifi_imagetransfer_tpu.phy import params
+
+
+def _use_pallas() -> bool:
+    """Trace-time choice of the ACS backend.
+
+    Default: the Pallas kernel on TPU backends, the XLA scan elsewhere.
+    Override with GWT_PALLAS_VITERBI=0/1 (0 forces XLA, 1 forces Pallas).
+    """
+    flag = os.environ.get("GWT_PALLAS_VITERBI")
+    if flag is not None:
+        return flag not in ("0", "false", "")
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def _tables():
