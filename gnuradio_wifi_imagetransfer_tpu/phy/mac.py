@@ -91,7 +91,15 @@ def frame_batch(payloads: np.ndarray, seq0: int = 0,
                 src: bytes = DEFAULT_SRC, dst: bytes = DEFAULT_DST,
                 bss: bytes = DEFAULT_BSS) -> np.ndarray:
     """Vectorized framer: (B, L) payload bytes -> (B, L+28) MPDUs with
-    consecutive sequence numbers starting at seq0."""
+    consecutive sequence numbers starting at seq0.
+
+    Uses the native C++ framer (native/gwt_native.cpp, the ieee802_11.mac
+    hot-loop equivalent) when the toolchain is available; NumPy+zlib
+    otherwise."""
+    from gnuradio_wifi_imagetransfer_tpu.runtime import native
+
+    if native.available():
+        return native.frame_batch(payloads, seq0, src, dst, bss)
     b, l = payloads.shape
     out = np.empty((b, HEADER_LEN + l + FCS_LEN), dtype=np.uint8)
     hdr_fixed = np.frombuffer(

@@ -92,6 +92,48 @@ class UdpSink:
         self.sock.close()
 
 
+def make_udp_source(host: str = "0.0.0.0", port: int = 52001,
+                    mtu: int = 10000):
+    """socket_pdu source factory: native C++ receive thread when the
+    toolchain is available (runtime/native.py), Python thread otherwise.
+    Both expose start()/drain()/stop()/.port."""
+    from gnuradio_wifi_imagetransfer_tpu.runtime import native
+
+    if native.available():
+        try:
+            return native.NativeUdpSource(host, port, mtu)
+        except OSError:
+            pass
+    return UdpSource(host, port, mtu)
+
+
+class NativeExtractSink:
+    """UdpSink (Extract Pics) over the native UDP sender."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 10010):
+        from gnuradio_wifi_imagetransfer_tpu.runtime import native
+
+        self._sink = native.NativeUdpSink(host, port)
+
+    def send_mac_payload(self, payload: bytes):
+        self._sink.send(payload[4:])
+
+    def close(self):
+        self._sink.close()
+
+
+def make_udp_sink(host: str = "127.0.0.1", port: int = 10010):
+    """Extract-Pics sink factory (native when available)."""
+    from gnuradio_wifi_imagetransfer_tpu.runtime import native
+
+    if native.available():
+        try:
+            return NativeExtractSink(host, port)
+        except OSError:
+            pass
+    return UdpSink(host, port)
+
+
 class LoopbackRadio:
     """Software transceiver: UDP in -> 802.11a PHY loopback -> UDP out.
 
@@ -112,8 +154,8 @@ class LoopbackRadio:
         batch: int = 8,
         seed: int = 0,
     ):
-        self.source = UdpSource(port=in_port)
-        self.sink = UdpSink(out_host, out_port)
+        self.source = make_udp_source(port=in_port)
+        self.sink = make_udp_sink(out_host, out_port)
         self.mcs = mcs
         self.snr_db = snr_db
         self.epsilon = epsilon
