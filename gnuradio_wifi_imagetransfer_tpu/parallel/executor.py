@@ -52,6 +52,7 @@ class FrameRecord:
     rate_idx: int
     length: int
     cfo: float
+    snr_db: float = float("nan")   # decision-directed EVM SNR (probe analogue)
 
 
 class StreamExecutor:
@@ -68,11 +69,15 @@ class StreamExecutor:
         mesh: Mesh | None = None,
         exec_cfg: ExecutorConfig = ExecutorConfig(),
         phy_cfg: PhyConfig = PhyConfig(),
+        tracer=None,
     ):
+        from gnuradio_wifi_imagetransfer_tpu.utils import tracing
+
         self.plan = plan
         self.mesh = mesh
         self.cfg = exec_cfg
         self.phy = phy_cfg
+        self.tracer = tracer if tracer is not None else tracing.Tracer()
         self.halo_right = sync.window_len(plan.n_sym)
         self.block = exec_cfg.block_size
         self.max_frames = exec_cfg.max_frames_per_block
@@ -97,6 +102,8 @@ class StreamExecutor:
         return res, cand
 
     def _outputs(self, res, cand):
+        from gnuradio_wifi_imagetransfer_tpu.utils.tracing import evm_snr_db
+
         # bools leave the device as uint8: the axon TPU tunnel cannot
         # transfer bool (or complex) arrays to the host (see utils/xfer.py)
         return (
@@ -107,6 +114,7 @@ class StreamExecutor:
             res.sig["rate_idx"],
             res.sig["length"],
             res.sig["parity_ok"].astype(jnp.uint8),
+            evm_snr_db(res.eq_symbols, self.plan.mcs),   # SNR probe analogue
         )
 
     def _build_local_step(self):
@@ -152,12 +160,12 @@ class StreamExecutor:
 
         from jax import shard_map
 
-        # 7 outputs, each (C, T, ...) sharded on the leading two axes
+        # 8 outputs, each (C, T, ...) sharded on the leading two axes
         smapped = shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=P("channel", "time"),
-            out_specs=tuple([P("channel", "time")] * 7),
+            out_specs=tuple([P("channel", "time")] * 8),
             check_vma=False,
         )
         return jax.jit(smapped)
@@ -207,32 +215,40 @@ class StreamExecutor:
             stride = span  # local layout reads true straddle context
         records: dict[tuple[int, int], FrameRecord] = {}
         for offset in range(0, n, stride):
-            blocks = to_riq(self._layout(stream, offset))
-            if self.mesh is not None:
-                blocks = jax.device_put(
-                    blocks, NamedSharding(self.mesh, P("channel", "time")))
-            psdu, valid, starts, cfo, rate_idx, length, parity = map(
-                np.asarray, self._step(jnp.asarray(blocks)))
-            for ci in range(c):
-                for ti in range(t):
-                    for k in range(self.max_frames):
-                        if not valid[ci, ti, k]:
-                            continue
-                        gstart = offset + ti * self.block + int(starts[ci, ti, k])
-                        if gstart >= n:
-                            continue
-                        key = (ci, gstart)
-                        rec = FrameRecord(
-                            channel=ci,
-                            global_start=gstart,
-                            psdu=psdu[ci, ti, k],
-                            parity_ok=bool(parity[ci, ti, k]),
-                            rate_idx=int(rate_idx[ci, ti, k]),
-                            length=int(length[ci, ti, k]),
-                            cfo=float(cfo[ci, ti, k]),
-                        )
-                        if key not in records or (rec.parity_ok and not records[key].parity_ok):
-                            records[key] = rec
+            with self.tracer.stage("ingest", samples=c * span):
+                blocks = to_riq(self._layout(stream, offset))
+                if self.mesh is not None:
+                    blocks = jax.device_put(
+                        blocks, NamedSharding(self.mesh, P("channel", "time")))
+            with self.tracer.stage("device_step", samples=c * span):
+                psdu, valid, starts, cfo, rate_idx, length, parity, snr = map(
+                    np.asarray, self._step(jnp.asarray(blocks)))
+            n_new = 0
+            with self.tracer.stage("collect"):
+                for ci in range(c):
+                    for ti in range(t):
+                        for k in range(self.max_frames):
+                            if not valid[ci, ti, k]:
+                                continue
+                            gstart = offset + ti * self.block + int(starts[ci, ti, k])
+                            if gstart >= n:
+                                continue
+                            key = (ci, gstart)
+                            rec = FrameRecord(
+                                channel=ci,
+                                global_start=gstart,
+                                psdu=psdu[ci, ti, k],
+                                parity_ok=bool(parity[ci, ti, k]),
+                                rate_idx=int(rate_idx[ci, ti, k]),
+                                length=int(length[ci, ti, k]),
+                                cfo=float(cfo[ci, ti, k]),
+                                snr_db=float(snr[ci, ti, k]),
+                            )
+                            if key not in records or (rec.parity_ok and not records[key].parity_ok):
+                                if key not in records:
+                                    n_new += 1
+                                records[key] = rec
+            self.tracer.count("collect", frames=n_new, calls=0)
             # NOTE: frames whose edge falls within the last halo_right of a
             # super-block are claimed by the shard that owns the edge; the
             # ring ppermute wraps the halo, so the final shard of the LAST
