@@ -66,6 +66,10 @@ def decode(llrs: jnp.ndarray, n_bits: int, terminated: bool = True) -> jnp.ndarr
 
     Returns (..., n_bits) uint8 decoded bits.
     """
+    if terminated and _use_pallas():
+        from gnuradio_wifi_imagetransfer_tpu.ops import pallas_viterbi
+
+        return pallas_viterbi.decode(llrs, n_bits)
     prev_state, prev_bit, prev_out0, prev_out1 = _tables()
     batch_shape = llrs.shape[:-1]
     x = llrs.reshape((-1, n_bits, 2)).transpose(1, 0, 2)        # (n, B, 2)
