@@ -2,3 +2,7 @@
 
 from gnuradio_wifi_imagetransfer_tpu.parallel.mesh import make_mesh  # noqa: F401
 from gnuradio_wifi_imagetransfer_tpu.parallel.executor import StreamExecutor  # noqa: F401
+from gnuradio_wifi_imagetransfer_tpu.parallel.adaptive import (  # noqa: F401
+    AdaptiveFrame,
+    AdaptiveReceiver,
+)
