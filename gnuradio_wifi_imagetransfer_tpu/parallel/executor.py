@@ -33,8 +33,18 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gnuradio_wifi_imagetransfer_tpu.config import ExecutorConfig, PhyConfig
-from gnuradio_wifi_imagetransfer_tpu.phy import params, rx, sync
+from gnuradio_wifi_imagetransfer_tpu.config import (
+    ChannelEstimator,
+    ExecutorConfig,
+    PhyConfig,
+)
+from gnuradio_wifi_imagetransfer_tpu.phy import (
+    equalizer,
+    params,
+    rx,
+    signal_field,
+    sync,
+)
 from gnuradio_wifi_imagetransfer_tpu.phy.tx import TxPlan
 from gnuradio_wifi_imagetransfer_tpu.utils.xfer import from_riq, to_riq
 
@@ -198,9 +208,54 @@ class StreamExecutor:
             ext[:, ti, lo - s : lo - s + hi - lo] = x[:, lo:hi]
         return ext
 
+    def _ingest(self, stream: np.ndarray, offset: int, span: int):
+        c = stream.shape[0]
+        with self.tracer.stage("ingest", samples=c * span):
+            blocks = to_riq(self._layout(stream, offset))
+            if self.mesh is not None:
+                blocks = jax.device_put(
+                    blocks, NamedSharding(self.mesh, P("channel", "time")))
+        return self._step(jnp.asarray(blocks))      # async dispatch
+
+    def _collect(self, offset: int, outs, n: int, span: int,
+                 records: dict[tuple[int, int], FrameRecord]) -> None:
+        c = outs[0].shape[0] if hasattr(outs[0], "shape") else 0
+        with self.tracer.stage("device_step", samples=c * span):
+            # np.asarray blocks until the (async-dispatched) step lands
+            psdu, valid, starts, cfo, rate_idx, length, parity, snr = map(
+                np.asarray, outs)
+        n_new = 0
+        with self.tracer.stage("collect"):
+            c, t, k = valid.shape
+            gstart = (offset + np.arange(t)[None, :, None] * self.block
+                      + starts.astype(np.int64))               # (C, T, K)
+            hits = np.argwhere((valid != 0) & (gstart < n))    # vectorized mask
+            for ci, ti, ki in hits:
+                key = (int(ci), int(gstart[ci, ti, ki]))
+                rec = FrameRecord(
+                    channel=int(ci),
+                    global_start=key[1],
+                    psdu=psdu[ci, ti, ki],
+                    parity_ok=bool(parity[ci, ti, ki]),
+                    rate_idx=int(rate_idx[ci, ti, ki]),
+                    length=int(length[ci, ti, ki]),
+                    cfo=float(cfo[ci, ti, ki]),
+                    snr_db=float(snr[ci, ti, ki]),
+                )
+                if key not in records or (rec.parity_ok and not records[key].parity_ok):
+                    if key not in records:
+                        n_new += 1
+                    records[key] = rec
+        self.tracer.count("collect", frames=n_new, calls=0)
+
     def run(self, stream: np.ndarray) -> list[FrameRecord]:
         """Process a full (channels, n_samples) stream; returns deduped
-        frame records sorted by (channel, global_start)."""
+        frame records sorted by (channel, global_start).
+
+        The loop is double-buffered: super-block k+1 is laid out and
+        dispatched before super-block k's results are fetched, so host
+        ingest/collect overlaps device compute (JAX dispatch is async).
+        """
         stream = np.atleast_2d(stream)
         c, n = stream.shape
         t = self.mesh.shape["time"] if self.mesh is not None else self.cfg.time_shards
@@ -214,41 +269,14 @@ class StreamExecutor:
         else:
             stride = span  # local layout reads true straddle context
         records: dict[tuple[int, int], FrameRecord] = {}
+        pending: tuple[int, tuple] | None = None
         for offset in range(0, n, stride):
-            with self.tracer.stage("ingest", samples=c * span):
-                blocks = to_riq(self._layout(stream, offset))
-                if self.mesh is not None:
-                    blocks = jax.device_put(
-                        blocks, NamedSharding(self.mesh, P("channel", "time")))
-            with self.tracer.stage("device_step", samples=c * span):
-                psdu, valid, starts, cfo, rate_idx, length, parity, snr = map(
-                    np.asarray, self._step(jnp.asarray(blocks)))
-            n_new = 0
-            with self.tracer.stage("collect"):
-                for ci in range(c):
-                    for ti in range(t):
-                        for k in range(self.max_frames):
-                            if not valid[ci, ti, k]:
-                                continue
-                            gstart = offset + ti * self.block + int(starts[ci, ti, k])
-                            if gstart >= n:
-                                continue
-                            key = (ci, gstart)
-                            rec = FrameRecord(
-                                channel=ci,
-                                global_start=gstart,
-                                psdu=psdu[ci, ti, k],
-                                parity_ok=bool(parity[ci, ti, k]),
-                                rate_idx=int(rate_idx[ci, ti, k]),
-                                length=int(length[ci, ti, k]),
-                                cfo=float(cfo[ci, ti, k]),
-                                snr_db=float(snr[ci, ti, k]),
-                            )
-                            if key not in records or (rec.parity_ok and not records[key].parity_ok):
-                                if key not in records:
-                                    n_new += 1
-                                records[key] = rec
-            self.tracer.count("collect", frames=n_new, calls=0)
+            outs = self._ingest(stream, offset, span)
+            if pending is not None:
+                self._collect(pending[0], pending[1], n, span, records)
+            pending = (offset, outs)
+        if pending is not None:
+            self._collect(pending[0], pending[1], n, span, records)
             # NOTE: frames whose edge falls within the last halo_right of a
             # super-block are claimed by the shard that owns the edge; the
             # ring ppermute wraps the halo, so the final shard of the LAST
@@ -257,3 +285,312 @@ class StreamExecutor:
             # should end with >= halo_right pad samples (pad_burst's 1000-
             # sample tail already satisfies this).
         return sorted(records.values(), key=lambda r: (r.channel, r.global_start))
+
+
+# ----------------------------------------------------------------------
+# SIGNAL-steered adaptive streaming executor
+# ----------------------------------------------------------------------
+
+# Stage A decodes only the SIGNAL symbol, so candidate windows cover the
+# preamble + SIGNAL (window_len(0) = 720 samples) instead of the worst-case
+# 800-byte MCS0 frame (~45k samples) — ~60x less gather/ship per candidate.
+_SIG_WLEN = sync.window_len(0)
+
+
+@dataclasses.dataclass
+class _Candidate:
+    """A detected frame awaiting stage-B payload decode."""
+
+    channel: int
+    global_start: int
+    cfo: float
+    frame_start: int      # preamble offset within a window cut at gstart-MARGIN
+    rate_idx: int
+    length: int
+
+
+@functools.lru_cache(maxsize=64)
+def _stage_b_fn(mcs: int, psdu_len: int, algo: int):
+    """jitted payload decode for one (MCS, length) bucket: raw windows +
+    total CFO + alignment -> PSDU bytes (+ SIGNAL re-check + EVM SNR)."""
+    from gnuradio_wifi_imagetransfer_tpu.utils.tracing import evm_snr_db
+
+    plan = TxPlan(mcs, psdu_len)
+    wlen = sync.window_len(plan.n_sym)
+
+    @jax.jit
+    def fn(raw_riq, cfo, frame_start):
+        raw = from_riq(raw_riq)                               # (B, wlen)
+        n = jnp.arange(raw.shape[-1])
+        w = raw * jnp.exp(-1j * cfo[:, None] * n)             # same ramp origin
+        r = rx.decode_aligned(w, plan, start=frame_start,
+                              algo=ChannelEstimator(algo))
+        return (r.psdu, r.sig["parity_ok"].astype(jnp.uint8),
+                evm_snr_db(r.eq_symbols, plan.mcs))
+
+    return fn, plan, wlen
+
+
+class AdaptiveStreamExecutor:
+    """Streaming RX over a (channel, time) mesh with runtime MCS steering.
+
+    The reference RX never knows the MCS in advance: frame_equalizer decodes
+    SIGNAL per frame and decode_mac follows (IRS_AP.py:271-272). Shapes under
+    jit are static, so reception splits around a host dispatch:
+
+      stage A (one sharded jit): halo exchange + dense sync front-end +
+        SIGNAL-only decode for every candidate. Windows cover just the
+        preamble + SIGNAL symbol (720 samples), so the right halo and the
+        per-candidate gather are ~60x smaller than a worst-case-frame design;
+      host dispatch: dedup by (channel, global start), bucket candidates by
+        decoded (rate_idx, length);
+      stage B (one cached jit per (MCS, length) bucket): windows sized for
+        the ACTUAL frame are cut from the host-resident stream, CFO-corrected
+        with the stage-A estimate, and batch-decoded. Batch dims are padded
+        to powers of two so compile count stays logarithmic.
+
+    Frames that straddle shard or super-block boundaries need no special
+    casing in stage B — the host stream has full context; only the sync EDGE
+    must fall in a shard's owned region, which the search bounds guarantee.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh | None = None,
+        exec_cfg: ExecutorConfig = ExecutorConfig(),
+        phy_cfg: PhyConfig = PhyConfig(),
+        tracer=None,
+        algo: ChannelEstimator | None = None,
+    ):
+        from gnuradio_wifi_imagetransfer_tpu.utils import tracing
+
+        self.mesh = mesh
+        self.cfg = exec_cfg
+        self.phy = phy_cfg
+        self.algo = ChannelEstimator(
+            phy_cfg.chan_est if algo is None else algo)
+        self.tracer = tracer if tracer is not None else tracing.Tracer()
+        self.block = exec_cfg.block_size
+        self.max_frames = exec_cfg.max_frames_per_block
+        # extraction cuts MARGIN before the edge; the window then extends
+        # (wlen - MARGIN) past the last owned edge position
+        self.halo_right = _SIG_WLEN - sync.MARGIN
+        if mesh is not None:
+            self._step = self._build_sharded_step(mesh)
+        else:
+            self._step = self._build_local_step()
+
+    # ------------------------------------------------------------------
+    # stage A
+    # ------------------------------------------------------------------
+
+    def _stage_a_one(self, ext: jnp.ndarray):
+        """SIGNAL-only receive on one extended block."""
+        windows, frame_start, cand = sync.synchronize(
+            ext, 0, self.max_frames, self.phy,
+            search_lo=HALO_LEFT, search_hi=HALO_LEFT + self.block,
+        )
+        ltf1, ltf2, spectra = rx.frame_spectra(windows, 0, frame_start)
+        h0 = equalizer.ls_estimate(ltf1, ltf2)
+        eq, _ = equalizer.equalize(spectra, h0, symbol_index0=0, algo=self.algo)
+        sig = signal_field.decode(eq[..., 0, :])
+        return (
+            cand.valid.astype(jnp.uint8),
+            cand.starts - HALO_LEFT,       # block-relative edge position
+            cand.cfo,
+            frame_start,
+            sig["rate_idx"],
+            sig["length"],
+            sig["parity_ok"].astype(jnp.uint8),
+        )
+
+    def _build_local_step(self):
+        @jax.jit
+        def step(blocks_riq):              # (C, T, HALO_LEFT+block+halo_r, 2)
+            blocks = from_riq(blocks_riq)
+            c, t, e = blocks.shape
+            out = jax.vmap(self._stage_a_one)(blocks.reshape(c * t, e))
+            return tuple(o.reshape((c, t) + o.shape[1:]) for o in out)
+
+        return step
+
+    def _build_sharded_step(self, mesh: Mesh):
+        t = mesh.shape["time"]
+
+        def shard_fn(x_local_riq):         # (C_local, 1, block, 2)
+            x_local = from_riq(x_local_riq[:, 0])
+            right_src = [(i, (i - 1) % t) for i in range(t)]
+            left_src = [(i, (i + 1) % t) for i in range(t)]
+            left_halo = jax.lax.ppermute(
+                x_local[:, -HALO_LEFT:], "time", perm=left_src)
+            right_halo = jax.lax.ppermute(
+                x_local[:, : self.halo_right], "time", perm=right_src)
+            ext = jnp.concatenate([left_halo, x_local, right_halo], axis=-1)
+            out = jax.vmap(self._stage_a_one)(ext)
+            return tuple(o[:, None] for o in out)
+
+        from jax import shard_map
+
+        smapped = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=P("channel", "time"),
+            out_specs=tuple([P("channel", "time")] * 7),
+            check_vma=False,
+        )
+        return jax.jit(smapped)
+
+    # ------------------------------------------------------------------
+    # host loop
+    # ------------------------------------------------------------------
+
+    def _layout(self, x: np.ndarray, offset: int):
+        c = x.shape[0]
+        t = self.mesh.shape["time"] if self.mesh is not None else self.cfg.time_shards
+        span = t * self.block
+        chunk = x[:, offset : offset + span]
+        if chunk.shape[1] < span:
+            chunk = np.pad(chunk, ((0, 0), (0, span - chunk.shape[1])))
+        if self.mesh is not None:
+            return chunk.reshape(c, t, self.block)
+        ext_len = HALO_LEFT + self.block + self.halo_right
+        ext = np.zeros((c, t, ext_len), dtype=x.dtype)
+        for ti in range(t):
+            s = offset + ti * self.block - HALO_LEFT
+            e = s + ext_len
+            lo, hi = max(s, 0), min(e, x.shape[1])
+            ext[:, ti, lo - s : lo - s + hi - lo] = x[:, lo:hi]
+        return ext
+
+    def _ingest(self, stream: np.ndarray, offset: int, span: int):
+        c = stream.shape[0]
+        with self.tracer.stage("ingest", samples=c * span):
+            blocks = to_riq(self._layout(stream, offset))
+            if self.mesh is not None:
+                blocks = jax.device_put(
+                    blocks, NamedSharding(self.mesh, P("channel", "time")))
+        return self._step(jnp.asarray(blocks))
+
+    def _collect_candidates(
+        self, offset: int, outs, n: int, span: int,
+        seen: set[tuple[int, int]],
+    ) -> list[_Candidate]:
+        c_dim = outs[0].shape[0]
+        with self.tracer.stage("device_step", samples=c_dim * span):
+            valid, starts, cfo, frame_start, rate_idx, length, sig_ok = map(
+                np.asarray, outs)
+        cands: list[_Candidate] = []
+        with self.tracer.stage("collect"):
+            c, t, k = valid.shape
+            gstart = (offset + np.arange(t)[None, :, None] * self.block
+                      + starts.astype(np.int64))
+            mask = (
+                (valid != 0)
+                & (sig_ok != 0)
+                & (gstart < n)
+                & (rate_idx >= 0)
+                & (length >= 1)
+                & (length <= self.phy.max_psdu_bytes)
+            )
+            for ci, ti, ki in np.argwhere(mask):
+                key = (int(ci), int(gstart[ci, ti, ki]))
+                if key in seen:
+                    continue
+                seen.add(key)
+                cands.append(_Candidate(
+                    channel=key[0],
+                    global_start=key[1],
+                    cfo=float(cfo[ci, ti, ki]),
+                    frame_start=int(frame_start[ci, ti, ki]),
+                    rate_idx=int(rate_idx[ci, ti, ki]),
+                    length=int(length[ci, ti, ki]),
+                ))
+        return cands
+
+    def _cut_window(self, stream: np.ndarray, ch: int, gstart: int,
+                    wlen: int) -> np.ndarray:
+        """Window origin = gstart - MARGIN, matching stage A's extraction
+        (zero-filled outside the stream), so stage-A frame_start/cfo apply."""
+        out = np.zeros(wlen, dtype=np.complex64)
+        s = gstart - sync.MARGIN
+        lo, hi = max(s, 0), min(s + wlen, stream.shape[1])
+        if hi > lo:
+            out[lo - s : lo - s + hi - lo] = stream[ch, lo:hi]
+        return out
+
+    def _decode_bucket(
+        self, stream: np.ndarray,
+        bucket: list[_Candidate],
+    ) -> list[FrameRecord]:
+        mcs, ln = bucket[0].rate_idx, bucket[0].length
+        fn, plan, wlen = _stage_b_fn(mcs, ln, int(self.algo))
+        b = len(bucket)
+        # pad the batch to the next power of two: compile count per plan is
+        # O(log max_batch) instead of one program per batch size
+        b_pad = 1 << (b - 1).bit_length()
+        raw = np.zeros((b_pad, wlen), dtype=np.complex64)
+        cfo = np.zeros(b_pad, dtype=np.float32)
+        fstart = np.zeros(b_pad, dtype=np.int32)
+        for i, cand in enumerate(bucket):
+            raw[i] = self._cut_window(stream, cand.channel, cand.global_start, wlen)
+            cfo[i] = cand.cfo
+            fstart[i] = cand.frame_start
+        psdu, parity, snr = map(np.asarray, fn(
+            jnp.asarray(to_riq(raw)), jnp.asarray(cfo), jnp.asarray(fstart)))
+        recs = []
+        for i, cand in enumerate(bucket):
+            recs.append(FrameRecord(
+                channel=cand.channel,
+                global_start=cand.global_start,
+                psdu=psdu[i],
+                parity_ok=bool(parity[i]),
+                rate_idx=mcs,
+                length=ln,
+                cfo=cand.cfo,
+                snr_db=float(snr[i]),
+            ))
+        return recs
+
+    def _stage_b(self, stream: np.ndarray,
+                 cands: list[_Candidate]) -> list[FrameRecord]:
+        buckets: dict[tuple[int, int], list[_Candidate]] = {}
+        for cand in cands:
+            buckets.setdefault((cand.rate_idx, cand.length), []).append(cand)
+        recs: list[FrameRecord] = []
+        with self.tracer.stage("stage_b", frames=len(cands)):
+            for bucket in buckets.values():
+                recs.extend(self._decode_bucket(stream, bucket))
+        return recs
+
+    def run(self, stream: np.ndarray) -> list[FrameRecord]:
+        """Process a (channels, n_samples) stream of UNKNOWN per-frame MCS;
+        returns frame records sorted by (channel, global_start).
+
+        Double-buffered like StreamExecutor.run: stage A for super-block
+        k+1 is dispatched before k's candidates are fetched; stage B decode
+        of k's frames then overlaps stage A of k+1 on device queues.
+        """
+        stream = np.atleast_2d(np.ascontiguousarray(stream, dtype=np.complex64))
+        c, n = stream.shape
+        t = self.mesh.shape["time"] if self.mesh is not None else self.cfg.time_shards
+        span = t * self.block
+        if self.mesh is not None:
+            # the ring ppermute wraps the last shard's right halo within the
+            # super-block; overlapping strides re-detect edges near the seam
+            # with true context (cheap: halo is only ~1k samples now)
+            stride = max(self.block, span - (self.halo_right + HALO_LEFT))
+        else:
+            stride = span
+        seen: set[tuple[int, int]] = set()
+        records: list[FrameRecord] = []
+        pending: tuple[int, tuple] | None = None
+        for offset in range(0, n, stride):
+            outs = self._ingest(stream, offset, span)
+            if pending is not None:
+                cands = self._collect_candidates(pending[0], pending[1], n, span, seen)
+                records.extend(self._stage_b(stream, cands))
+            pending = (offset, outs)
+        if pending is not None:
+            cands = self._collect_candidates(pending[0], pending[1], n, span, seen)
+            records.extend(self._stage_b(stream, cands))
+        return sorted(records, key=lambda r: (r.channel, r.global_start))
