@@ -82,6 +82,10 @@ class ExecutorConfig:
     max_frames_per_block: int = 8      # fixed frame-candidate slots per block
     channels: int = 1                  # parallel 20 MHz channels (mesh axis "channel")
     time_shards: int = 1               # time-block shards (mesh axis "time")
+    wire_format: str = "f32"           # host->device sample format: "f32"
+                                       # (float32 I/Q) or "sc16" (int16 I/Q,
+                                       # UHD's native over-the-wire format —
+                                       # half the ingest bytes)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -14,17 +14,30 @@ implements the GNU Radio rational_resampler equivalent TPU-first:
     through a per-sample C++ work loop).
 
 A Pallas kernel variant lives in ops/pallas_fir.py; this XLA path is its
-correctness oracle.
+correctness oracle. rational_resampler/fir_filter dispatch to the kernel
+on TPU backends (override with GWT_PALLAS_FIR=0/1).
 """
 
 from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+
+def _use_pallas() -> bool:
+    """Trace-time backend choice, mirroring phy/viterbi.py's gate."""
+    flag = os.environ.get("GWT_PALLAS_FIR")
+    if flag is not None:
+        return flag not in ("0", "false", "")
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 @functools.cache
@@ -84,11 +97,20 @@ def rational_resampler(x: jnp.ndarray, interp: int, decim: int,
     interp, decim = interp // g, decim // g
     if interp == decim == 1:
         return x
-    return polyphase_resample(x, interp, decim, design_lowpass(interp, decim, taps_per_phase))
+    taps = design_lowpass(interp, decim, taps_per_phase)
+    if _use_pallas():
+        from gnuradio_wifi_imagetransfer_tpu.ops import pallas_fir
+
+        return pallas_fir.polyphase_resample(x, interp, decim, taps)
+    return polyphase_resample(x, interp, decim, taps)
 
 
 def fir_filter(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
     """Causal FIR along the last axis (windowed-matmul formulation)."""
+    if _use_pallas() and len(taps) <= 129 and np.isrealobj(np.asarray(taps)):
+        from gnuradio_wifi_imagetransfer_tpu.ops import pallas_fir
+
+        return pallas_fir.fir_filter(x, np.asarray(taps, np.float32))
     h = jnp.asarray(taps)
     if jnp.iscomplexobj(x) and not jnp.iscomplexobj(h):
         h = h.astype(jnp.complex64)

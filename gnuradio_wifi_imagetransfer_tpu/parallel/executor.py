@@ -46,9 +46,24 @@ from gnuradio_wifi_imagetransfer_tpu.phy import (
     sync,
 )
 from gnuradio_wifi_imagetransfer_tpu.phy.tx import TxPlan
-from gnuradio_wifi_imagetransfer_tpu.utils.xfer import from_riq, to_riq
+from gnuradio_wifi_imagetransfer_tpu.utils.xfer import (
+    from_riq,
+    from_wire,
+    quantize_sc16,
+    to_riq,
+)
 
 HALO_LEFT = 256
+
+
+def _pack_f32(parts: list[jnp.ndarray]) -> jnp.ndarray:
+    """Concatenate heterogeneous per-block outputs into ONE flat float32
+    vector. The tunneled TPU backend pays a ~20 ms round trip per
+    device->host fetch regardless of size, so the step returns a single
+    array instead of a tuple — one fetch per super-block, not eight.
+    float32 exactly represents every packed value (uint8 bytes, block-
+    relative int32 indices < 2^24, float metrics)."""
+    return jnp.concatenate([jnp.ravel(p).astype(jnp.float32) for p in parts])
 
 
 @dataclasses.dataclass
@@ -114,26 +129,40 @@ class StreamExecutor:
     def _outputs(self, res, cand):
         from gnuradio_wifi_imagetransfer_tpu.utils.tracing import evm_snr_db
 
-        # bools leave the device as uint8: the axon TPU tunnel cannot
-        # transfer bool (or complex) arrays to the host (see utils/xfer.py)
-        return (
-            res.psdu,
-            cand.valid.astype(jnp.uint8),
-            cand.starts - HALO_LEFT,      # block-relative edge position
-            cand.cfo,
-            res.sig["rate_idx"],
-            res.sig["length"],
-            res.sig["parity_ok"].astype(jnp.uint8),
-            evm_snr_db(res.eq_symbols, self.plan.mcs),   # SNR probe analogue
-        )
+        # one packed float32 vector per block (see _pack_f32); bools leave
+        # the device as numeric — the axon TPU tunnel cannot transfer bool
+        # (or complex) arrays to the host (see utils/xfer.py)
+        return _pack_f32([
+            res.psdu,                     # K * L
+            cand.valid,                   # K
+            cand.starts - HALO_LEFT,      # K  block-relative edge position
+            cand.cfo,                     # K
+            res.sig["rate_idx"],          # K
+            res.sig["length"],            # K
+            res.sig["parity_ok"],         # K
+            evm_snr_db(res.eq_symbols, self.plan.mcs),   # K  SNR probe analogue
+        ])
+
+    def _unpack(self, flat: np.ndarray):
+        """(C, T, F) packed step output -> the 8 logical arrays."""
+        k, l = self.max_frames, self.plan.psdu_len
+        lead = flat.shape[:-1]
+        psdu = flat[..., : k * l].reshape(lead + (k, l)).astype(np.uint8)
+        rest = flat[..., k * l :].reshape(lead + (7, k))
+        valid, starts, cfo, rate_idx, length, parity, snr = (
+            rest[..., i, :] for i in range(7))
+        return (psdu, valid, starts.astype(np.int64), cfo,
+                rate_idx.astype(np.int32), length.astype(np.int32),
+                parity, snr)
 
     def _build_local_step(self):
-        # I/O crosses the jit boundary as float32 (..., 2) real/imag pairs:
-        # the axon TPU backend rejects complex64 at program boundaries
-        # (transfers/eager ops), though complex math inside jit is fine.
+        # I/O crosses the jit boundary as (..., 2) real/imag pairs (float32
+        # or sc16 int16): the axon TPU backend rejects complex64 at program
+        # boundaries (transfers/eager ops), though complex math inside jit
+        # is fine.
         @jax.jit
         def step(blocks_riq):             # (C, T, halo_l + block + halo_r, 2)
-            blocks = from_riq(blocks_riq)
+            blocks = from_wire(blocks_riq)
 
             def one(ext):
                 res, cand = self._receive_bounded(ext)
@@ -143,7 +172,7 @@ class StreamExecutor:
             # single-level vmap over the flattened (C*T) block axis: nested
             # vmaps of this pipeline stall the TPU compiler service
             out = jax.vmap(one)(blocks.reshape(c * t, e))
-            return tuple(o.reshape((c, t) + o.shape[1:]) for o in out)
+            return out.reshape((c, t) + out.shape[1:])
 
         return step
 
@@ -151,7 +180,7 @@ class StreamExecutor:
         t = mesh.shape["time"]
 
         def shard_fn(x_local_riq):        # (C_local, 1, block, 2)
-            x_local = from_riq(x_local_riq[:, 0])   # (C_local, block)
+            x_local = from_wire(x_local_riq[:, 0])   # (C_local, block)
             # neighbor halo exchange over the time ring (ICI traffic)
             right_src = [(i, (i - 1) % t) for i in range(t)]   # i sends to i-1
             left_src = [(i, (i + 1) % t) for i in range(t)]    # i sends to i+1
@@ -166,16 +195,16 @@ class StreamExecutor:
                 return self._outputs(res, cand)
 
             out = jax.vmap(one)(ext)
-            return tuple(o[:, None] for o in out)   # re-insert time-block dim
+            return out[:, None]           # re-insert time-block dim
 
         from jax import shard_map
 
-        # 8 outputs, each (C, T, ...) sharded on the leading two axes
+        # one packed (C, T, F) output sharded on the leading two axes
         smapped = shard_map(
             shard_fn,
             mesh=mesh,
             in_specs=P("channel", "time"),
-            out_specs=tuple([P("channel", "time")] * 8),
+            out_specs=P("channel", "time"),
             check_vma=False,
         )
         return jax.jit(smapped)
@@ -212,6 +241,8 @@ class StreamExecutor:
         c = stream.shape[0]
         with self.tracer.stage("ingest", samples=c * span):
             blocks = to_riq(self._layout(stream, offset))
+            if self.cfg.wire_format == "sc16":
+                blocks = quantize_sc16(blocks)
             if self.mesh is not None:
                 blocks = jax.device_put(
                     blocks, NamedSharding(self.mesh, P("channel", "time")))
@@ -219,11 +250,12 @@ class StreamExecutor:
 
     def _collect(self, offset: int, outs, n: int, span: int,
                  records: dict[tuple[int, int], FrameRecord]) -> None:
-        c = outs[0].shape[0] if hasattr(outs[0], "shape") else 0
+        c = outs.shape[0]
         with self.tracer.stage("device_step", samples=c * span):
-            # np.asarray blocks until the (async-dispatched) step lands
-            psdu, valid, starts, cfo, rate_idx, length, parity, snr = map(
-                np.asarray, outs)
+            # np.asarray blocks until the (async-dispatched) step lands;
+            # ONE packed fetch — the tunnel charges per transfer
+            psdu, valid, starts, cfo, rate_idx, length, parity, snr = (
+                self._unpack(np.asarray(outs)))
         n_new = 0
         with self.tracer.stage("collect"):
             c, t, k = valid.shape
@@ -320,13 +352,17 @@ def _stage_b_fn(mcs: int, psdu_len: int, algo: int):
 
     @jax.jit
     def fn(raw_riq, cfo, frame_start):
-        raw = from_riq(raw_riq)                               # (B, wlen)
+        raw = from_wire(raw_riq)                              # (B, wlen)
         n = jnp.arange(raw.shape[-1])
         w = raw * jnp.exp(-1j * cfo[:, None] * n)             # same ramp origin
         r = rx.decode_aligned(w, plan, start=frame_start,
                               algo=ChannelEstimator(algo))
-        return (r.psdu, r.sig["parity_ok"].astype(jnp.uint8),
-                evm_snr_db(r.eq_symbols, plan.mcs))
+        # pack (B, L + 2): psdu bytes | parity | snr — one fetch per bucket
+        return jnp.concatenate([
+            r.psdu.astype(jnp.float32),
+            r.sig["parity_ok"].astype(jnp.float32)[:, None],
+            evm_snr_db(r.eq_symbols, plan.mcs)[:, None],
+        ], axis=-1)
 
     return fn, plan, wlen
 
@@ -394,23 +430,33 @@ class AdaptiveStreamExecutor:
         h0 = equalizer.ls_estimate(ltf1, ltf2)
         eq, _ = equalizer.equalize(spectra, h0, symbol_index0=0, algo=self.algo)
         sig = signal_field.decode(eq[..., 0, :])
-        return (
-            cand.valid.astype(jnp.uint8),
+        return _pack_f32([                 # (7K,) — one fetch per super-block
+            cand.valid,
             cand.starts - HALO_LEFT,       # block-relative edge position
             cand.cfo,
             frame_start,
             sig["rate_idx"],
             sig["length"],
-            sig["parity_ok"].astype(jnp.uint8),
-        )
+            sig["parity_ok"],
+        ])
+
+    def _unpack_a(self, flat: np.ndarray):
+        """(C, T, 7K) packed stage-A output -> the 7 logical arrays."""
+        k = self.max_frames
+        rest = flat.reshape(flat.shape[:-1] + (7, k))
+        valid, starts, cfo, frame_start, rate_idx, length, sig_ok = (
+            rest[..., i, :] for i in range(7))
+        return (valid, starts.astype(np.int64), cfo,
+                frame_start.astype(np.int32), rate_idx.astype(np.int32),
+                length.astype(np.int32), sig_ok)
 
     def _build_local_step(self):
         @jax.jit
         def step(blocks_riq):              # (C, T, HALO_LEFT+block+halo_r, 2)
-            blocks = from_riq(blocks_riq)
+            blocks = from_wire(blocks_riq)
             c, t, e = blocks.shape
             out = jax.vmap(self._stage_a_one)(blocks.reshape(c * t, e))
-            return tuple(o.reshape((c, t) + o.shape[1:]) for o in out)
+            return out.reshape((c, t) + out.shape[1:])
 
         return step
 
@@ -418,7 +464,7 @@ class AdaptiveStreamExecutor:
         t = mesh.shape["time"]
 
         def shard_fn(x_local_riq):         # (C_local, 1, block, 2)
-            x_local = from_riq(x_local_riq[:, 0])
+            x_local = from_wire(x_local_riq[:, 0])
             right_src = [(i, (i - 1) % t) for i in range(t)]
             left_src = [(i, (i + 1) % t) for i in range(t)]
             left_halo = jax.lax.ppermute(
@@ -427,7 +473,7 @@ class AdaptiveStreamExecutor:
                 x_local[:, : self.halo_right], "time", perm=right_src)
             ext = jnp.concatenate([left_halo, x_local, right_halo], axis=-1)
             out = jax.vmap(self._stage_a_one)(ext)
-            return tuple(o[:, None] for o in out)
+            return out[:, None]
 
         from jax import shard_map
 
@@ -435,7 +481,7 @@ class AdaptiveStreamExecutor:
             shard_fn,
             mesh=mesh,
             in_specs=P("channel", "time"),
-            out_specs=tuple([P("channel", "time")] * 7),
+            out_specs=P("channel", "time"),
             check_vma=False,
         )
         return jax.jit(smapped)
@@ -466,6 +512,8 @@ class AdaptiveStreamExecutor:
         c = stream.shape[0]
         with self.tracer.stage("ingest", samples=c * span):
             blocks = to_riq(self._layout(stream, offset))
+            if self.cfg.wire_format == "sc16":
+                blocks = quantize_sc16(blocks)
             if self.mesh is not None:
                 blocks = jax.device_put(
                     blocks, NamedSharding(self.mesh, P("channel", "time")))
@@ -475,10 +523,10 @@ class AdaptiveStreamExecutor:
         self, offset: int, outs, n: int, span: int,
         seen: set[tuple[int, int]],
     ) -> list[_Candidate]:
-        c_dim = outs[0].shape[0]
+        c_dim = outs.shape[0]
         with self.tracer.stage("device_step", samples=c_dim * span):
-            valid, starts, cfo, frame_start, rate_idx, length, sig_ok = map(
-                np.asarray, outs)
+            valid, starts, cfo, frame_start, rate_idx, length, sig_ok = (
+                self._unpack_a(np.asarray(outs)))
         cands: list[_Candidate] = []
         with self.tracer.stage("collect"):
             c, t, k = valid.shape
@@ -535,8 +583,13 @@ class AdaptiveStreamExecutor:
             raw[i] = self._cut_window(stream, cand.channel, cand.global_start, wlen)
             cfo[i] = cand.cfo
             fstart[i] = cand.frame_start
-        psdu, parity, snr = map(np.asarray, fn(
-            jnp.asarray(to_riq(raw)), jnp.asarray(cfo), jnp.asarray(fstart)))
+        wire = to_riq(raw)
+        if self.cfg.wire_format == "sc16":
+            wire = quantize_sc16(wire)
+        packed = np.asarray(fn(
+            jnp.asarray(wire), jnp.asarray(cfo), jnp.asarray(fstart)))
+        psdu = packed[:, :ln].astype(np.uint8)
+        parity, snr = packed[:, ln], packed[:, ln + 1]
         recs = []
         for i, cand in enumerate(bucket):
             recs.append(FrameRecord(

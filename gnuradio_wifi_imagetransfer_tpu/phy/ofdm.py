@@ -16,11 +16,28 @@ through one vectorized CP+rolloff pass.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from gnuradio_wifi_imagetransfer_tpu.phy import params
+
+
+def _use_pallas() -> bool:
+    """Trace-time choice of the 64-pt transform backend.
+
+    Default: the Pallas MXU-matmul kernel (ops/pallas_fft.py) on TPU
+    backends, jnp.fft elsewhere. Override with GWT_PALLAS_FFT=0/1.
+    """
+    flag = os.environ.get("GWT_PALLAS_FFT")
+    if flag is not None:
+        return flag not in ("0", "false", "")
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def allocate_carriers(data_syms: jnp.ndarray, symbol_index0: int | jnp.ndarray = 0) -> jnp.ndarray:
@@ -45,6 +62,10 @@ def allocate_carriers(data_syms: jnp.ndarray, symbol_index0: int | jnp.ndarray =
 def ifft_symbols(freq_syms: jnp.ndarray) -> jnp.ndarray:
     """Shifted-order spectra -> 64-sample time symbols with the reference's
     unnormalized-IFFT * 1/sqrt(52) scaling."""
+    if _use_pallas():
+        from gnuradio_wifi_imagetransfer_tpu.ops import pallas_fft
+
+        return pallas_fft.ifft64(freq_syms)
     return (
         jnp.fft.ifft(jnp.fft.ifftshift(freq_syms, axes=-1), axis=-1)
         * params.IFFT_SCALE
@@ -57,6 +78,10 @@ def fft_symbols(time_syms: jnp.ndarray) -> jnp.ndarray:
     Matches RX fft_vcc(64, forward, rect, shift) (IRS_AP.py:273) up to the
     TX normalization: fft_symbols(ifft_symbols(X)) == X.
     """
+    if _use_pallas():
+        from gnuradio_wifi_imagetransfer_tpu.ops import pallas_fft
+
+        return pallas_fft.fft64(time_syms)
     return (
         jnp.fft.fftshift(jnp.fft.fft(time_syms, axis=-1), axes=-1)
         / params.IFFT_SCALE

@@ -20,12 +20,40 @@ def to_riq(x: np.ndarray) -> np.ndarray:
     math INSIDE compiled programs is fully supported. Recombine inside the
     jitted function with ``from_riq``.
     """
+    x = np.asarray(x)
+    if x.dtype == np.complex64:
+        # complex64 memory IS interleaved (re, im) float32 pairs: a view
+        # gives the exact stack([re, im], -1) layout with zero copies —
+        # this keeps host ingest off the streaming pipeline's critical path
+        return np.ascontiguousarray(x).view(np.float32).reshape(x.shape + (2,))
     return np.stack([np.real(x), np.imag(x)], axis=-1).astype(np.float32)
 
 
 def from_riq(x) -> "jnp.ndarray":
     """Device-side (inside jit): float32 (..., 2) -> complex64."""
     return (x[..., 0] + 1j * x[..., 1]).astype(jnp.complex64)
+
+
+# "sc16" wire format: int16 I/Q pairs, the native over-the-wire sample
+# format of UHD/USRP radios (the reference's RX hardware, IRS_AP.py:163).
+# Halves host->device bytes vs float32 pairs; quantization noise at
+# -90 dBFS is far below any operating SNR (20-30 dB, IRS_tranceiver.py:98).
+SC16_FULL_SCALE = 4.0
+
+
+def quantize_sc16(riq: np.ndarray) -> np.ndarray:
+    """Host-side: float32 (..., 2) riq -> int16 (..., 2) wire samples."""
+    k = 32767.0 / SC16_FULL_SCALE
+    return np.clip(np.round(riq * k), -32768, 32767).astype(np.int16)
+
+
+def from_wire(x) -> "jnp.ndarray":
+    """Device-side (inside jit): riq pairs in either wire format ->
+    complex64. jit specializes on the input dtype, so the same traced
+    function serves both paths."""
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.float32) * (SC16_FULL_SCALE / 32767.0)
+    return from_riq(x)
 
 
 def to_host(x) -> np.ndarray:
