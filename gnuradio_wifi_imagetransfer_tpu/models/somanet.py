@@ -81,9 +81,10 @@ class SOMANet(nn.Module):
         """CSI = env_rx^T diag(Psi) env_tx (SOMANet_DSCN.py getChnl :81-86)."""
         return env_rx.T @ (self.psi()[:, None] * env_tx)
 
-    def _encode_users(self, images: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    def _encode_users(self, images: jnp.ndarray, labels: jnp.ndarray,
+                      train: bool = False) -> jnp.ndarray:
         def enc_one(img_u, label_u):
-            return self.shared_encoder(img_u, label_u)
+            return self.shared_encoder(img_u, label_u, train)
 
         feats = [enc_one(images[u], labels[u]) for u in range(images.shape[0])]
         return jnp.stack(feats)                                   # (U, B, h, w, c)
@@ -93,10 +94,11 @@ class SOMANet(nn.Module):
                 for u in range(labels.shape[0])]
         return jnp.stack(outs)                                    # (U, B, H, W, 3)
 
-    def __call__(self, images: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, images: jnp.ndarray, labels: jnp.ndarray,
+                 train: bool = False) -> jnp.ndarray:
         """Simple superposition forward (SOMANet_DSCN.py:97-144)."""
         u, b = images.shape[:2]
-        feats = self._encode_users(images, labels)                # (U, B, h, w, c)
+        feats = self._encode_users(images, labels, train)         # (U, B, h, w, c)
         h, w, c = feats.shape[2:]
         flat = feats.reshape(u, b, -1)
         z = complexify(flat)                                      # (U, B, n)
@@ -114,10 +116,11 @@ class SOMANet(nn.Module):
         envs_rx: jnp.ndarray,        # (U, N, 1) per-user downlink channels
         key: Optional[jax.Array] = None,
         snr_db: float = 20.0,
+        train: bool = False,
     ) -> jnp.ndarray:
         """Full IRS propagation forward (_forward_old :146-214)."""
         u, b = images.shape[:2]
-        feats = self._encode_users(images, labels)
+        feats = self._encode_users(images, labels, train)
         h, w, c = feats.shape[2:]
         flat = feats.reshape(u, b, -1)
         z = complexify(flat)                                      # (U, B, n)

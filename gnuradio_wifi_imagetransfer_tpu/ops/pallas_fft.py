@@ -59,7 +59,11 @@ def _packed_mat(inverse: bool) -> np.ndarray:
 
 
 def _kernel(x_ref, r_ref, y_ref):
-    y_ref[:] = jnp.dot(x_ref[:], r_ref[:], preferred_element_type=jnp.float32)
+    # HIGHEST: the MXU's default bf16 passes are far too coarse for a
+    # dense DFT (observed ~1e0 abs error on hardware); fp32 accumulation
+    # costs 3 passes and restores ~1e-5 parity with jnp.fft
+    y_ref[:] = jnp.dot(x_ref[:], r_ref[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
 
 
 def _transform(x: jnp.ndarray, inverse: bool, interpret: bool) -> jnp.ndarray:

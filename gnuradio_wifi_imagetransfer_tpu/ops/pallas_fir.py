@@ -58,8 +58,10 @@ def _fir_mats(taps_key: bytes, n_taps: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _fir_kernel(xc_ref, xp_ref, a_ref, b_ref, y_ref):
     y_ref[:] = (
-        jnp.dot(xc_ref[:], a_ref[:], preferred_element_type=jnp.float32)
-        + jnp.dot(xp_ref[:], b_ref[:], preferred_element_type=jnp.float32)
+        jnp.dot(xc_ref[:], a_ref[:], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot(xp_ref[:], b_ref[:], preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     )
 
 
@@ -153,7 +155,8 @@ def _resample_kernel(rt_ref, g_ref, y_ref):
     acc = jnp.zeros((128, 128), jnp.float32)
     for c in range(m1):                          # static unroll, M+1 matmuls
         acc += jnp.dot(g_ref[0, c], rt_ref[pl.ds(c * 128, 128), :],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
     y_ref[0] = acc
 
 

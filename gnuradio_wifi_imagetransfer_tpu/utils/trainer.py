@@ -93,9 +93,9 @@ class Environment:
 
 def mse_loss(model: SOMANet, variables, images, labels, train=False) -> jnp.ndarray:
     """'default' mode: mse(output, input) / user_num (Trainer.py:149-152)."""
-    kwargs = {}
     if train:
-        out, _ = model.apply(variables, images, labels, mutable=["batch_stats"])
+        out, _ = model.apply(variables, images, labels, True,
+                             mutable=["batch_stats"])
     else:
         out = model.apply(variables, images, labels)
     u = images.shape[0]
@@ -145,16 +145,26 @@ class TrainState:
 
 
 class Trainer:
-    """jit/pjit-compiled SOMANet training (the reference trains with a
-    hand-rolled torch loop; here one optax update, shardable over a data
-    mesh)."""
+    """jit/pjit-compiled SOMANet training with the reference's loss modes.
+
+    train_step(images, labels, mode=...) dispatches to the 'default' /
+    'm2m' / 'distill' losses (Trainer.py:120-167); train_step_multiband
+    handles the per-band dict workload. Every mode runs the model with
+    train=True inside the jitted step, so BatchNorm running statistics
+    update through flax's mutable=["batch_stats"] collection (the
+    reference gets this implicitly from torch module train() mode)."""
+
+    MODES = ("default", "m2m", "distill")
 
     def __init__(self, model: SOMANet, learning_rate: float = 1e-4,
                  mesh=None, user_num: int = 2, img_size: int = 48,
-                 batch_size: int = 2, seed: int = 0):
+                 batch_size: int = 2, seed: int = 0,
+                 distill_decay: float = 0.1):
         self.model = model
         self.tx = optax.adam(learning_rate)
         self.mesh = mesh
+        self.distill_decay = distill_decay
+        self.teacher_vars = None
 
         key = jax.random.key(seed)
         dummy_img = jnp.zeros((user_num, batch_size, img_size, img_size, 3))
@@ -166,40 +176,122 @@ class Trainer:
             opt_state=self.tx.init(variables["params"]),
         )
 
-        def loss_fn(params, batch_stats, images, labels):
-            variables = {"params": params, "batch_stats": batch_stats}
-            # inference-mode BatchNorm (running stats), like the reference's
-            # eval-style codec use; batch_stats pass through unchanged
-            out = self.model.apply(variables, images, labels)
-            loss = jnp.mean((out - images) ** 2) / images.shape[0]
-            return loss, batch_stats
-
-        def step(state_params, state_stats, opt_state, images, labels):
-            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state_params, state_stats, images, labels)
-            updates, new_opt = self.tx.update(grads, opt_state, state_params)
-            new_params = optax.apply_updates(state_params, updates)
-            return new_params, new_stats, new_opt, loss
-
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             # data-parallel over the per-user batch axis; parameters
             # replicated (the codec fits on one chip; dp is the win)
             self._data_sharding = NamedSharding(mesh, P(None, "data"))
-            self._step = jax.jit(step)
         else:
             self._data_sharding = None
-            self._step = jax.jit(step)
+        self._steps: dict[str, Callable] = {}
 
-    def train_step(self, images: np.ndarray, labels: np.ndarray) -> float:
+    # -- loss modes (Trainer.py train :120-155 / distill :157-167) -------
+
+    def _forward_train(self, params, batch_stats, images, labels):
+        out, mut = self.model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            images, labels, True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+
+    def _make_step(self, mode: str):
+        def loss_fn(params, batch_stats, images, labels, teacher):
+            out, new_stats = self._forward_train(params, batch_stats, images, labels)
+            if mode == "default":
+                loss = jnp.mean((out - images) ** 2) / images.shape[0]
+            elif mode == "m2m":
+                per_user = jnp.mean((out - images) ** 2,
+                                    axis=tuple(range(1, out.ndim)))
+                loss = jnp.mean(per_user)
+            elif mode == "distill":
+                out_t = jax.lax.stop_gradient(
+                    self.model.apply(teacher, images, labels))
+                per_user = (
+                    jnp.mean((out - images) ** 2, axis=tuple(range(1, out.ndim)))
+                    + self.distill_decay
+                    * jnp.mean((out - out_t) ** 2, axis=tuple(range(1, out.ndim)))
+                )
+                loss = jnp.mean(per_user)
+            else:
+                raise ValueError(f"unknown mode {mode!r}")
+            return loss, new_stats
+
+        def step(state_params, state_stats, opt_state, images, labels, teacher):
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state_params, state_stats, images, labels, teacher)
+            updates, new_opt = self.tx.update(grads, opt_state, state_params)
+            new_params = optax.apply_updates(state_params, updates)
+            return new_params, new_stats, new_opt, loss
+
+        return jax.jit(step)
+
+    def _make_multiband_step(self, n_bands: int):
+        def loss_fn(params, batch_stats, band_images, band_labels, weights):
+            total, scaler = 0.0, 0.0
+            stats = batch_stats
+            for f in range(n_bands):
+                out, stats = self._forward_train(
+                    params, stats, band_images[f], band_labels[f])
+                total = total + weights[f] * jnp.mean((out - band_images[f]) ** 2)
+                scaler = scaler + weights[f]
+            return total / scaler, stats
+
+        def step(state_params, state_stats, opt_state, band_images, band_labels,
+                 weights):
+            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state_params, state_stats, band_images, band_labels, weights)
+            updates, new_opt = self.tx.update(grads, opt_state, state_params)
+            new_params = optax.apply_updates(state_params, updates)
+            return new_params, new_stats, new_opt, loss
+
+        return jax.jit(step)
+
+    # -- public API ------------------------------------------------------
+
+    def set_teacher(self, variables=None):
+        """Freeze a teacher for 'distill' mode (defaults to a snapshot of
+        the current student, like Trainer.py distill's teacher.eval())."""
+        if variables is None:
+            variables = {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats}
+        self.teacher_vars = jax.tree.map(jnp.asarray, variables)
+
+    def train_step(self, images: np.ndarray, labels: np.ndarray,
+                   mode: str = "default") -> float:
+        if mode not in self.MODES:
+            raise ValueError(f"mode must be one of {self.MODES}, got {mode!r}")
+        if mode == "distill" and self.teacher_vars is None:
+            self.set_teacher()
         images = jnp.asarray(images)
         labels = jnp.asarray(labels)
         if self._data_sharding is not None:
             images = jax.device_put(images, self._data_sharding)
-        p, s, o, loss = self._step(
+        if mode not in self._steps:
+            self._steps[mode] = self._make_step(mode)
+        teacher = (self.teacher_vars if mode == "distill"
+                   else {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats})
+        p, s, o, loss = self._steps[mode](
             self.state.params, self.state.batch_stats, self.state.opt_state,
-            images, labels)
+            images, labels, teacher)
+        self.state = TrainState(p, s, o, self.state.step + 1)
+        return float(loss)
+
+    def train_step_multiband(self, band_images, band_labels,
+                             freq_weight=None) -> float:
+        """'multi-band' mode (Trainer.py:133-144): band_images (F, U, B,
+        H, W, 3), band_labels (F, U, 256), freq_weight (F,) or None."""
+        band_images = jnp.asarray(band_images)
+        band_labels = jnp.asarray(band_labels)
+        f = band_images.shape[0]
+        weights = (jnp.ones(f) if freq_weight is None
+                   else jnp.asarray(freq_weight, jnp.float32))
+        key = f"multiband{f}"
+        if key not in self._steps:
+            self._steps[key] = self._make_multiband_step(f)
+        p, s, o, loss = self._steps[key](
+            self.state.params, self.state.batch_stats, self.state.opt_state,
+            band_images, band_labels, weights)
         self.state = TrainState(p, s, o, self.state.step + 1)
         return float(loss)
 

@@ -99,6 +99,58 @@ def test_train_step_descends_and_checkpoints():
         assert np.isclose(l1, l2, rtol=1e-4)
 
 
+def _flat_stats(stats):
+    return np.concatenate([np.ravel(np.asarray(x))
+                           for x in jax.tree.leaves(stats)])
+
+
+def test_batch_stats_update_and_modes_descend():
+    """VERDICT r1 item 6: BatchNorm running stats must change after a
+    jitted step, and every loss mode must decrease its own loss."""
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((2, 2, 16, 16, 3)).astype(np.float32) * 0.3
+    labels = pe_labels(["3-4", "13-10"])[:, :256]
+    for mode in ("default", "m2m", "distill"):
+        model = SOMANet(compressed_channel=32, img_size=16, n_irs=4)
+        tr = Trainer(model, learning_rate=1e-3, user_num=2, img_size=16,
+                     batch_size=2)
+        before = _flat_stats(tr.state.batch_stats)
+        losses = [tr.train_step(images, labels, mode=mode) for _ in range(6)]
+        after = _flat_stats(tr.state.batch_stats)
+        assert not np.allclose(before, after), f"{mode}: batch_stats frozen"
+        assert losses[-1] < losses[0], (mode, losses)
+
+
+def test_distill_uses_frozen_teacher():
+    rng = np.random.default_rng(1)
+    images = rng.standard_normal((2, 2, 16, 16, 3)).astype(np.float32) * 0.3
+    labels = pe_labels(["3-4", "13-10"])[:, :256]
+    model = SOMANet(compressed_channel=32, img_size=16, n_irs=4)
+    tr = Trainer(model, learning_rate=1e-3, user_num=2, img_size=16,
+                 batch_size=2, distill_decay=0.5)
+    tr.set_teacher()
+    t_before = _flat_stats(tr.teacher_vars["params"])
+    for _ in range(3):
+        tr.train_step(images, labels, mode="distill")
+    assert np.array_equal(t_before, _flat_stats(tr.teacher_vars["params"]))
+    s_now = _flat_stats(tr.state.params)
+    assert not np.allclose(t_before, s_now)   # student moved, teacher frozen
+
+
+def test_multiband_step():
+    rng = np.random.default_rng(2)
+    band_images = rng.standard_normal((2, 2, 2, 16, 16, 3)).astype(np.float32) * 0.3
+    labels = pe_labels(["3-4", "13-10"])[:, :256]
+    band_labels = np.stack([labels, labels])
+    model = SOMANet(compressed_channel=32, img_size=16, n_irs=4)
+    tr = Trainer(model, learning_rate=1e-3, user_num=2, img_size=16,
+                 batch_size=2)
+    losses = [tr.train_step_multiband(band_images, band_labels,
+                                      freq_weight=[1.0, 2.0])
+              for _ in range(6)]
+    assert losses[-1] < losses[0], losses
+
+
 def test_metrics_psnr_ssim():
     rng = np.random.default_rng(0)
     a = rng.integers(0, 256, (2, 32, 32, 3), dtype=np.uint8)
