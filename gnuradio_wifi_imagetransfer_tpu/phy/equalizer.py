@@ -4,14 +4,33 @@ Replicates ieee802_11.frame_equalizer (IRS_AP.py:271, wifi_phy_hier.grc:
 550-569): LS channel estimate from the two LTF symbols, per-symbol
 pilot-tracked common-phase correction, equalization of the 48 data carriers,
 plus the LMS / COMB (linear comb) / STA algorithm variants selectable at
-IRS_AP.py:139-141.
+IRS_AP.py:139-141. The C++ algorithms are not vendored in the reference
+repo; these are the documented algorithm families they implement:
 
-All algorithms are expressed as a `lax.scan` over OFDM symbols carrying the
-running channel estimate, fully batched over frames.
+  LS    static LTF estimate + per-symbol common pilot phase (ls.cc).
+  LMS   decision-directed normalized-LMS tracking of the per-carrier
+        channel: h[k] += mu * (y[k] - h[k] x̂[k]) x̂*[k] / |x̂[k]|²,
+        with known pilot symbols and hard-decided data symbols.
+  COMB  "linear comb": per-symbol complex gains measured at the 4 pilot
+        tones, linearly interpolated across the 52 used carriers
+        (flat-held beyond the outer pilots) and applied onto the LTF
+        estimate — tracks per-symbol amplitude/phase tilt.
+  STA   spectral-temporal averaging (Fernandez et al., 802.11p):
+        H_inst[k] = y[k]/x̂[k], averaged over ±2 neighboring carriers
+        (weight sta_beta) then exponentially over time (weight sta_alpha).
+
+LS/LMS/STA run as one `lax.scan` over OFDM symbols carrying the running
+channel estimate, fully batched over frames; COMB is a closed-form
+per-symbol pass. Decision-directed trackers quantize to the frame's MCS
+constellation when ``mcs`` is given (the SIGNAL symbol, when present at
+scan position 0, is decided as BPSK), else to a unit-modulus proxy.
 """
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -45,11 +64,40 @@ def _pilot_phase(y_used: jnp.ndarray, h: jnp.ndarray, polarity: jnp.ndarray) -> 
     return corr / jnp.maximum(jnp.abs(corr), 1e-12)
 
 
+@functools.cache
+def _comb_interp_matrix() -> np.ndarray:
+    """Static (52, 4) linear-interpolation weights from the 4 pilot
+    positions (used-carrier indices 5, 19, 32, 46) to all 52 used
+    carriers; flat-held beyond the outer pilots."""
+    p = np.asarray(params.PILOT_IN_USED, dtype=np.float64)      # (4,)
+    w = np.zeros((52, 4))
+    for k in range(52):
+        if k <= p[0]:
+            w[k, 0] = 1.0
+        elif k >= p[-1]:
+            w[k, -1] = 1.0
+        else:
+            j = int(np.searchsorted(p, k, side="right")) - 1
+            t = (k - p[j]) / (p[j + 1] - p[j])
+            w[k, j] = 1.0 - t
+            w[k, j + 1] = t
+    return w.astype(np.float32)
+
+
+def _decide(eq: jnp.ndarray, mcs: int | None) -> jnp.ndarray:
+    if mcs is None:
+        return eq / jnp.maximum(jnp.abs(eq), 1e-9)          # unit-modulus proxy
+    from gnuradio_wifi_imagetransfer_tpu.phy import mapping
+
+    return mapping.decide(eq, mcs)
+
+
 def equalize(
     sym_freq: jnp.ndarray,
     h0: jnp.ndarray,
     symbol_index0: int | jnp.ndarray = 0,
     algo: ChannelEstimator = ChannelEstimator.LS,
+    mcs: int | None = None,
     lms_mu: float = 0.5,
     sta_alpha: float = 0.5,
     sta_beta: float = 0.5,
@@ -59,6 +107,8 @@ def equalize(
     sym_freq: (..., S, 64) shifted spectra (SIGNAL first when
       symbol_index0 == 0).
     h0: (..., 52) initial LS channel estimate.
+    mcs: decision constellation for the data symbols of the LMS/STA
+      trackers (None -> unit-modulus proxy).
     Returns (eq_data, csi): (..., S, 48) equalized data-carrier symbols and
     per-carrier reliability weights |H|^2.
     """
@@ -70,49 +120,65 @@ def equalize(
 
     y_all = sym_freq[..., used]                             # (..., S, 52)
     s = y_all.shape[-2]
-    # scan over the symbol axis: move S to the front.
-    perm = (y_all.ndim - 2,) + tuple(i for i in range(y_all.ndim) if i != y_all.ndim - 2)
-    y_scan = jnp.transpose(y_all, perm)                     # (S, ..., 52)
     pol = polarity_tab[(symbol_index0 + jnp.arange(s)) % 127]
+    # scan position 0 holds the (BPSK) SIGNAL symbol iff the run starts
+    # at polarity index 0 and the start index is static
+    sig_first = isinstance(symbol_index0, int) and symbol_index0 == 0
 
     algo = ChannelEstimator(algo)
 
+    if algo == ChannelEstimator.COMB:
+        # per-symbol pilot gains onto the LTF estimate (no scan state)
+        ref = pol[..., None] * pilot_pat                    # (S, 4)
+        y_p = y_all[..., p_idx]                             # (..., S, 4)
+        h_p = h0[..., None, :][..., p_idx]                  # (..., 1, 4)
+        g_p = y_p / jnp.where(jnp.abs(h_p * ref) > 1e-9, h_p * ref, 1e-9)
+        g = jnp.einsum("kp,...sp->...sk", jnp.asarray(_comb_interp_matrix()),
+                       g_p)                                 # (..., S, 52)
+        h_t = h0[..., None, :] * g
+        eq = y_all / jnp.where(jnp.abs(h_t) > 1e-9, h_t, 1e-9)
+        data = eq[..., d_idx]
+        csi = (jnp.abs(h_t[..., d_idx]) ** 2).astype(jnp.float32)
+        return data, csi
+
+    # scan over the symbol axis: move S to the front.
+    perm = (y_all.ndim - 2,) + tuple(i for i in range(y_all.ndim) if i != y_all.ndim - 2)
+    y_scan = jnp.transpose(y_all, perm)                     # (S, ..., 52)
+    is_sig = (jnp.arange(s) == 0) if sig_first else jnp.zeros(s, bool)
+
     def step(h, inp):
-        y, polarity = inp                                   # y: (..., 52)
+        y, polarity, sig = inp                              # y: (..., 52)
         phasor = _pilot_phase(y, h, polarity)               # (...,)
         y_corr = y * jnp.conj(phasor)[..., None]
         eq = y_corr / jnp.where(jnp.abs(h) > 1e-9, h, 1e-9)
         h_next = h
+        if algo in (ChannelEstimator.LMS, ChannelEstimator.STA):
+            x_dat = _decide(eq, mcs)
+            if sig_first and mcs is not None and mcs != 0:
+                # the SIGNAL symbol is always BPSK
+                x_sig = _decide(eq, 0)
+                x_dat = jnp.where(sig, x_sig, x_dat)
+            x_hat = x_dat.at[..., p_idx].set(polarity[..., None] * pilot_pat)
         if algo == ChannelEstimator.LMS:
-            # Pilot-driven gradient update of the channel estimate.
-            ref = polarity[..., None] * pilot_pat
-            err = y_corr[..., p_idx] - h[..., p_idx] * ref
-            h_next = h.at[..., p_idx].add(lms_mu * err * ref)
+            # decision-directed normalized LMS over all 52 carriers
+            err = y_corr - h * x_hat
+            h_next = h + lms_mu * err * jnp.conj(x_hat) / jnp.maximum(
+                jnp.abs(x_hat) ** 2, 1e-9)
         elif algo == ChannelEstimator.STA:
-            # Spectral-temporal averaging: decision-free smoothed update
-            # from the per-carrier instantaneous estimate y/x with x taken
-            # as the equalized symbol re-normalized (data) / known (pilot).
-            x_hat = eq / jnp.maximum(jnp.abs(eq), 1e-9)     # unit-modulus proxy
-            x_hat = x_hat.at[..., p_idx].set(polarity[..., None] * pilot_pat)
-            h_inst = y_corr * jnp.conj(x_hat)
-            # smooth across carriers (beta comb) then across time (alpha)
-            left = jnp.roll(h_inst, 1, axis=-1)
-            right = jnp.roll(h_inst, -1, axis=-1)
-            h_comb = (1 - sta_beta) * h_inst + sta_beta * 0.5 * (left + right)
-            h_next = (1 - sta_alpha) * h + sta_alpha * h_comb
+            # spectral (±2-carrier) then temporal averaging
+            h_inst = y_corr * jnp.conj(x_hat) / jnp.maximum(
+                jnp.abs(x_hat) ** 2, 1e-9)
+            nb = (jnp.roll(h_inst, 1, -1) + jnp.roll(h_inst, -1, -1)
+                  + jnp.roll(h_inst, 2, -1) + jnp.roll(h_inst, -2, -1)
+                  + h_inst) / 5.0
+            h_f = (1 - sta_beta) * h_inst + sta_beta * nb
+            h_next = (1 - sta_alpha) * h + sta_alpha * h_f
         data = eq[..., d_idx]
         csi = (jnp.abs(h[..., d_idx]) ** 2).astype(jnp.float32)
         return h_next, (data, csi)
 
-    if algo == ChannelEstimator.COMB:
-        # Linear-comb: one-shot smoothing of the LS estimate across
-        # neighboring carriers, then static equalization.
-        h_sm = 0.25 * jnp.roll(h0, 1, axis=-1) + 0.5 * h0 + 0.25 * jnp.roll(h0, -1, axis=-1)
-        h_sm = h_sm.at[..., 0].set(h0[..., 0]).at[..., -1].set(h0[..., -1])
-        h0 = h_sm
-        algo = ChannelEstimator.LS
-
-    _, (data, csi) = jax.lax.scan(step, h0.astype(jnp.complex64), (y_scan, pol))
+    _, (data, csi) = jax.lax.scan(step, h0.astype(jnp.complex64),
+                                  (y_scan, pol, is_sig))
     # move S back: data is (S, ..., 48)
     inv = tuple(range(1, data.ndim - 1)) + (0, data.ndim - 1)
     return jnp.transpose(data, inv), jnp.transpose(csi, inv)

@@ -61,6 +61,18 @@ def demap_llr(symbols: jnp.ndarray, mcs: int, csi: jnp.ndarray | None = None) ->
     return llr.reshape(symbols.shape[:-1] + (symbols.shape[-1] * n_bpsc,))
 
 
+def decide(symbols: jnp.ndarray, mcs: int) -> jnp.ndarray:
+    """Nearest constellation point per symbol (hard decision), same shape.
+
+    Used by the decision-directed equalizer trackers (LMS/STA) and the
+    SNR probe.
+    """
+    n_bpsc = int(params.MCS_N_BPSC[mcs])
+    points = jnp.asarray(params.constellation(n_bpsc))
+    idx = jnp.argmin(jnp.abs(symbols[..., None] - points) ** 2, axis=-1)
+    return points[idx]
+
+
 def demap_hard(symbols: jnp.ndarray, mcs: int) -> jnp.ndarray:
     """Nearest-point hard decisions -> (..., n*n_bpsc) bits (uint8)."""
     n_bpsc = int(params.MCS_N_BPSC[mcs])

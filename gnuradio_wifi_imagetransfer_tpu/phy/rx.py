@@ -86,7 +86,8 @@ def decode_aligned(
     """
     ltf1, ltf2, spectra = frame_spectra(samples, plan.n_sym, start)
     h0 = equalizer.ls_estimate(ltf1, ltf2)
-    eq, csi = equalizer.equalize(spectra, h0, symbol_index0=0, algo=algo)
+    eq, csi = equalizer.equalize(spectra, h0, symbol_index0=0, algo=algo,
+                                 mcs=plan.mcs)
     sig = signal_field.decode(eq[..., 0, :])
     data_eq = eq[..., 1:, :]
     data_csi = csi[..., 1:, :]
