@@ -47,6 +47,30 @@ def multipath(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...nk,k->...n", win, taps).astype(jnp.complex64)
 
 
+def sample_clock_offset(x: jnp.ndarray, ppm: float, n_taps: int = 16) -> jnp.ndarray:
+    """Sample-clock (timing) offset: resample x at rate (1 + ppm*1e-6).
+
+    Models GNU Radio channel_model's epsilon parameter (the TX/RX ADC
+    clock mismatch the reference leaves at 1.0, IRS_tranceiver.py:286) as
+    windowed-sinc fractional interpolation: y[m] = x(m * (1 + delta)).
+    Output is slightly shorter than the input when delta > 0.
+    """
+    delta = ppm * 1e-6
+    n = x.shape[-1]
+    n_out = int(n / max(1.0 + delta, 1e-9)) - n_taps
+    t = jnp.arange(n_out) * (1.0 + delta)
+    base = jnp.floor(t).astype(jnp.int32)
+    frac = (t - base).astype(jnp.float32)
+    k = jnp.arange(-(n_taps // 2 - 1), n_taps // 2 + 1)          # (K,)
+    idx = jnp.clip(base[:, None] + k[None, :], 0, n - 1)         # (M, K)
+    arg = k[None, :] - frac[:, None]
+    # windowed sinc, Hann window evaluated continuously over the tap span
+    w = jnp.sinc(arg) * (0.5 + 0.5 * jnp.cos(jnp.pi * arg / (n_taps // 2 + 1)))
+    w = (w / jnp.sum(w, axis=-1, keepdims=True)).astype(jnp.float32)
+    y = jnp.einsum("...mk,mk->...m", x[..., idx], w.astype(x.dtype))
+    return y.astype(jnp.complex64)
+
+
 def channel_model(
     key: jax.Array,
     x: jnp.ndarray,
@@ -54,6 +78,7 @@ def channel_model(
     frequency_offset: float | jnp.ndarray = 0.0,
     taps=(1.0,),
     snr_db: float | jnp.ndarray | None = None,
+    clock_ppm: float = 0.0,
 ) -> jnp.ndarray:
     """Full loopback channel.
 
@@ -67,6 +92,8 @@ def channel_model(
         x = x * jnp.asarray(10.0, dtype=jnp.float32) ** (jnp.asarray(snr_db) / 20.0)
     y = multipath(x, jnp.asarray(taps))
     y = apply_cfo(y, frequency_offset)
+    if clock_ppm:
+        y = sample_clock_offset(y, clock_ppm)
     return awgn(key, y, noise_voltage)
 
 

@@ -98,11 +98,27 @@ def rational_resampler(x: jnp.ndarray, interp: int, decim: int,
     if interp == decim == 1:
         return x
     taps = design_lowpass(interp, decim, taps_per_phase)
-    if _use_pallas():
+    # the Pallas kernel's static G table is (L, M+2, 128, 128) — viable
+    # only for modest ratios; huge-L clock-trim ratios use the XLA path
+    if _use_pallas() and interp <= 64 and decim <= 96:
         from gnuradio_wifi_imagetransfer_tpu.ops import pallas_fir
 
         return pallas_fir.polyphase_resample(x, interp, decim, taps)
     return polyphase_resample(x, interp, decim, taps)
+
+
+def correct_sample_clock(x: jnp.ndarray, ppm: float,
+                         max_denominator: int = 20000) -> jnp.ndarray:
+    """Undo a TX/RX sample-clock mismatch of ``ppm`` parts-per-million
+    ahead of the sync front-end: resample by the rational approximation of
+    (1 + ppm*1e-6) so sample m lands back on the transmitter's grid.
+    The inverse of channel.model.sample_clock_offset(x, ppm)."""
+    from fractions import Fraction
+
+    frac = Fraction(1.0 + ppm * 1e-6).limit_denominator(max_denominator)
+    if frac.numerator == frac.denominator:
+        return x
+    return rational_resampler(x, frac.numerator, frac.denominator)
 
 
 def fir_filter(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:

@@ -136,3 +136,49 @@ def test_clustered_irs_channel():
     assert np.allclose(np.abs(np.array(phases)), 1.0, atol=1e-5)
     inc = np.array(ch.gen_incidence_phase())
     assert inc.shape == (4, 4) and np.all(np.abs(inc) <= np.pi + 1e-6)
+
+
+def test_sample_clock_offset_tone_rate():
+    """A resampled tone's frequency scales by exactly (1 + ppm*1e-6)."""
+    from gnuradio_wifi_imagetransfer_tpu.channel import model
+
+    n = 20000
+    f = 0.11                                 # cycles/sample
+    x = np.exp(2j * np.pi * f * np.arange(n)).astype(np.complex64)
+    ppm = 150.0
+    y = np.asarray(model.sample_clock_offset(jnp.asarray(x), ppm))
+    assert y.size < n
+    # instantaneous frequency from the mean phase increment
+    dphi = np.angle(y[1:] * np.conj(y[:-1]))
+    f_meas = np.mean(dphi[100:-100]) / (2 * np.pi)
+    np.testing.assert_allclose(f_meas, f * (1 + ppm * 1e-6), rtol=1e-6)
+
+
+def test_clock_offset_breaks_decode_resampler_repairs_it():
+    """VERDICT r1 item 9's done condition: a 100-ppm sample-clock
+    mismatch at 64-QAM 3/4 defeats the RX; ops.resampler.
+    correct_sample_clock ahead of sync repairs it bit-exact."""
+    from gnuradio_wifi_imagetransfer_tpu.channel import model
+    from gnuradio_wifi_imagetransfer_tpu.ops import resampler
+    from gnuradio_wifi_imagetransfer_tpu.phy import sync, tx
+
+    rng = np.random.default_rng(0)
+    mcs, length, ppm = 7, 400, 100.0
+    psdu = rng.integers(0, 256, (2, length), dtype=np.uint8)
+    bursts = tx.transmit(jnp.asarray(psdu), mcs, scrambler_seed=jnp.arange(1, 3))
+    stream = np.asarray(tx.pad_burst(bursts, 200, 1200).reshape(-1))
+    y = np.asarray(model.sample_clock_offset(jnp.asarray(stream), ppm))
+    noise = 0.5 * 10 ** (-30 / 20) / np.sqrt(2)
+    y = (y + noise * (rng.standard_normal(y.size)
+                      + 1j * rng.standard_normal(y.size))).astype(np.complex64)
+
+    def n_good(z):
+        res, cand = sync.receive(jnp.asarray(z), tx.tx_plan(mcs, length),
+                                 max_frames=4)
+        ok = np.array(cand.valid) & np.array(res.sig["parity_ok"])
+        return sum(1 for row in np.array(res.psdu)[ok]
+                   if any((row == p).all() for p in psdu))
+
+    assert n_good(y) == 0, "uncorrected 100-ppm stream should not decode"
+    z = np.asarray(resampler.correct_sample_clock(jnp.asarray(y), ppm))
+    assert n_good(z.astype(np.complex64)) == 2
