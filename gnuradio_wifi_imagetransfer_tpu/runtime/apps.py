@@ -44,6 +44,7 @@ _SENDER_HTML = """<!doctype html><html><head><title>{title}</title></head>
 <body><h2>{title}</h2>
 <form action="/send_image" method="post" enctype="multipart/form-data">
 {inputs}
+<label>UDP port: <input type="text" name="port" value="{port}"/></label><br/>
 <button type="submit">Send</button></form>
 <form action="/stop" method="post"><button type="submit">Stop</button></form>
 <p>{status}</p></body></html>"""
@@ -51,11 +52,14 @@ _SENDER_HTML = """<!doctype html><html><head><title>{title}</title></head>
 _RECEIVER_HTML = """<!doctype html><html><head><title>{title}</title></head>
 <body><h2>{title}</h2>{controls}
 <img id="im" width="300" height="300" style="image-rendering:pixelated"/>
+<p>pieces received: <span id="count">0</span></p>
 <script>
 const es = new EventSource('/events');
 es.onmessage = (e) => {{
   const d = JSON.parse(e.data);
   document.getElementById('im').src = 'data:image/jpeg;base64,' + d.image;
+  if (d.pieces !== undefined)
+    document.getElementById('count').textContent = d.pieces;
 }};
 </script></body></html>"""
 
@@ -129,8 +133,10 @@ class SenderApp(_AppServer):
         self.sender: _PieceSender | None = None
         super().__init__(_make_sender_handler(self), port=http_port)
 
-    def send_image(self, image: np.ndarray):
-        """Start (or restart) the re-send loop for one image."""
+    def send_image(self, image: np.ndarray, port: int | None = None):
+        """Start (or restart) the re-send loop for one image. ``port``
+        overrides the target UDP port (the reference sender's port input,
+        featuremap_sender.html:104-105)."""
         from PIL import Image
 
         if not isinstance(image, np.ndarray):
@@ -139,7 +145,8 @@ class SenderApp(_AppServer):
             Image.fromarray(image).resize(self.cfg.image_size), dtype=np.uint8)
         pieces = imgutil.detach_image(img, self.cfg.piece_size)
         self.stop_sending()
-        self.sender = _PieceSender(pieces, self.cfg.tx_host, self.cfg.tx_port,
+        self.sender = _PieceSender(pieces, self.cfg.tx_host,
+                                   port or self.cfg.tx_port,
                                    self.cfg.piece_interval_s).start()
 
     def stop_sending(self):
@@ -165,11 +172,12 @@ class FeatureMapSenderApp(_AppServer):
         self.sender: _PieceSender | None = None
         super().__init__(_make_sender_handler(self, n_images=2), port=http_port)
 
-    def send_image(self, img1, img2):
+    def send_image(self, img1, img2, port: int | None = None):
         latent = self.codec.img2msg({self.TARGET[0]: img1, self.TARGET[1]: img2})
         pieces = imgutil.detach_image(latent, self.cfg.piece_size)
         self.stop_sending()
-        self.sender = _PieceSender(pieces, self.cfg.tx_host, self.cfg.tx_port,
+        self.sender = _PieceSender(pieces, self.cfg.tx_host,
+                                   port or self.cfg.tx_port,
                                    self.cfg.piece_interval_s).start()
 
     def stop_sending(self):
@@ -191,6 +199,7 @@ def _make_sender_handler(app, n_images: int = 1):
             inputs = "".join(
                 f'<input type="file" name="image{i}"/><br/>' for i in range(n_images))
             body = _SENDER_HTML.format(title=type(app).__name__, inputs=inputs,
+                                       port=app.cfg.tx_port,
                                        status="sending" if app.sender else "idle")
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
@@ -208,8 +217,9 @@ def _make_sender_handler(app, n_images: int = 1):
                 length = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(length)
                 try:
-                    imgs = _parse_multipart_images(self.headers, data, n_images)
-                    app.send_image(*imgs)
+                    imgs, fields = _parse_multipart(self.headers, data, n_images)
+                    port = int(fields["port"]) if fields.get("port") else None
+                    app.send_image(*imgs, port=port)
                     self.send_response(200)
                     self.end_headers()
                     self.wfile.write(b"sending")
@@ -224,8 +234,9 @@ def _make_sender_handler(app, n_images: int = 1):
     return Handler
 
 
-def _parse_multipart_images(headers, data: bytes, n_images: int):
-    """Minimal multipart/form-data parser for file fields."""
+def _parse_multipart(headers, data: bytes, n_images: int):
+    """Minimal multipart/form-data parser: file fields -> images, text
+    fields -> a dict (e.g. the sender's target-port input)."""
     from PIL import Image
 
     ctype = headers.get("Content-Type", "")
@@ -233,15 +244,21 @@ def _parse_multipart_images(headers, data: bytes, n_images: int):
         raise ValueError("expected multipart/form-data")
     boundary = ctype.split("boundary=")[1].strip().encode()
     parts = data.split(b"--" + boundary)
-    images = []
+    images, fields = [], {}
     for part in parts:
-        if b"\r\n\r\n" not in part or b"filename=" not in part:
+        if b"\r\n\r\n" not in part:
             continue
-        payload = part.split(b"\r\n\r\n", 1)[1].rstrip(b"\r\n-")
-        images.append(Image.open(io.BytesIO(payload)).convert("RGB"))
+        head, payload = part.split(b"\r\n\r\n", 1)
+        payload = payload.rstrip(b"\r\n-")
+        if b"filename=" in head:
+            if payload:
+                images.append(Image.open(io.BytesIO(payload)).convert("RGB"))
+        elif b'name="' in head:
+            name = head.split(b'name="', 1)[1].split(b'"', 1)[0].decode()
+            fields[name] = payload.decode(errors="replace").strip()
     if len(images) < n_images:
         raise ValueError(f"need {n_images} image file(s), got {len(images)}")
-    return [np.asarray(im) for im in images[:n_images]]
+    return [np.asarray(im) for im in images[:n_images]], fields
 
 
 # ---------------------------------------------------------------------------
@@ -325,7 +342,7 @@ class _ReceiverBase(_AppServer):
     def _publish(self, arr: np.ndarray):
         b64 = _jpeg_b64(arr)
         self.last_image_b64 = b64
-        self.hub.publish({"image": b64})
+        self.hub.publish({"image": b64, "pieces": self.pieces_received})
 
     def _handle_piece(self, piece):
         raise NotImplementedError
