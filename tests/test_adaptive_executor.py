@@ -124,3 +124,27 @@ def test_adaptive_superblock_boundary():
         records = [r for r in ex.run(x) if r.parity_ok]
         assert len(records) == len(specs), f"mesh={mesh}"
         _check(records, specs)
+
+
+def test_adaptive_frame_at_stream_end_unpadded():
+    """A frame whose burst ends AT the last sample of the stream (no tail
+    padding) still decodes: stage A zero-fills its SIGNAL window past the
+    stream edge and stage B cuts from the host stream, so neither depends
+    on the ring halo's wrapped context."""
+    cfg = ExecutorConfig(block_size=2048, time_shards=4, max_frames_per_block=4)
+    rng = np.random.default_rng(21)
+    payload = rng.integers(0, 256, 60, dtype=np.uint8)
+    mcs = 3
+    burst = np.array(tx.transmit(jnp.asarray(payload)[None], mcs))[0]
+    n = 4 * 2048
+    pos = n - burst.size                     # flush against the stream end
+    specs = [(pos, mcs, payload)]
+    x = np.zeros(n, np.complex64)
+    x[pos:] += 0.5 * burst
+    x += (0.005 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+          ).astype(np.complex64)
+    for mesh in (None, make_mesh(channels=1, time_shards=4)):
+        ex = AdaptiveStreamExecutor(mesh=mesh, exec_cfg=cfg)
+        records = [r for r in ex.run(x) if r.parity_ok]
+        assert len(records) == 1, f"mesh={mesh}: {len(records)} records"
+        _check(records, specs)
