@@ -34,10 +34,10 @@ def _use_pallas() -> bool:
     flag = os.environ.get("GWT_PALLAS_FFT")
     if flag is not None:
         return flag not in ("0", "false", "")
-    try:
-        return jax.default_backend() in ("tpu", "axon")
-    except Exception:
-        return False
+    # default OFF pending on-hardware validation: the tunneled axon chip
+    # has produced worker faults in sessions mixing these kernels; flip to
+    # backend-default-on once a hardware run is recorded in BENCH notes
+    return False
 
 
 def allocate_carriers(data_syms: jnp.ndarray, symbol_index0: int | jnp.ndarray = 0) -> jnp.ndarray:
