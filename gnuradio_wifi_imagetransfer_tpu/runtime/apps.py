@@ -40,7 +40,21 @@ import numpy as np
 from gnuradio_wifi_imagetransfer_tpu.config import AppConfig
 from gnuradio_wifi_imagetransfer_tpu.utils import image as imgutil
 
-_SENDER_HTML = """<!doctype html><html><head><title>{title}</title></head>
+_CSS = """<style>
+body { font-family: system-ui, sans-serif; max-width: 640px; margin: 2rem auto;
+       padding: 0 1rem; color: #222; background: #fafafa; }
+h2 { border-bottom: 2px solid #4a7dbd; padding-bottom: .3rem; }
+form { background: #fff; border: 1px solid #ddd; border-radius: 8px;
+       padding: 1rem; margin: 1rem 0; }
+button { background: #4a7dbd; color: #fff; border: 0; border-radius: 5px;
+         padding: .45rem 1.2rem; cursor: pointer; }
+button:hover { background: #38639a; }
+input { margin: .25rem 0; padding: .3rem; }
+img { border: 1px solid #ccc; border-radius: 6px; background: #000; }
+#count { font-weight: 600; }
+</style>"""
+
+_SENDER_HTML = """<!doctype html><html><head><title>{title}</title>{css}</head>
 <body><h2>{title}</h2>
 <form action="/send_image" method="post" enctype="multipart/form-data">
 {inputs}
@@ -49,7 +63,7 @@ _SENDER_HTML = """<!doctype html><html><head><title>{title}</title></head>
 <form action="/stop" method="post"><button type="submit">Stop</button></form>
 <p>{status}</p></body></html>"""
 
-_RECEIVER_HTML = """<!doctype html><html><head><title>{title}</title></head>
+_RECEIVER_HTML = """<!doctype html><html><head><title>{title}</title>{css}</head>
 <body><h2>{title}</h2>{controls}
 <img id="im" width="300" height="300" style="image-rendering:pixelated"/>
 <p>pieces received: <span id="count">0</span></p>
@@ -199,7 +213,7 @@ def _make_sender_handler(app, n_images: int = 1):
             inputs = "".join(
                 f'<input type="file" name="image{i}"/><br/>' for i in range(n_images))
             body = _SENDER_HTML.format(title=type(app).__name__, inputs=inputs,
-                                       port=app.cfg.tx_port,
+                                       port=app.cfg.tx_port, css=_CSS,
                                        status="sending" if app.sender else "idle")
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
@@ -397,7 +411,8 @@ def _make_receiver_handler(app):
                 if isinstance(app, FeatureMapReceiverApp):
                     controls = (f'<p>user id: <input id="uid" value="{app.user_id}"/>'
                                 '<button onclick="fetch(\'/set_user?id=\'+document.getElementById(\'uid\').value, {method:\'POST\'})">set</button></p>')
-                body = _RECEIVER_HTML.format(title=type(app).__name__, controls=controls)
+                body = _RECEIVER_HTML.format(title=type(app).__name__,
+                                             controls=controls, css=_CSS)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
                 self.end_headers()
