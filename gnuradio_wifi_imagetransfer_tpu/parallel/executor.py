@@ -234,7 +234,8 @@ class StreamExecutor:
             s = offset + ti * self.block - HALO_LEFT
             e = s + ext_len
             lo, hi = max(s, 0), min(e, x.shape[1])
-            ext[:, ti, lo - s : lo - s + hi - lo] = x[:, lo:hi]
+            if hi > lo:     # shard may lie fully past the stream end
+                ext[:, ti, lo - s : lo - s + hi - lo] = x[:, lo:hi]
         return ext
 
     def _ingest(self, stream: np.ndarray, offset: int, span: int):
@@ -505,7 +506,8 @@ class AdaptiveStreamExecutor:
             s = offset + ti * self.block - HALO_LEFT
             e = s + ext_len
             lo, hi = max(s, 0), min(e, x.shape[1])
-            ext[:, ti, lo - s : lo - s + hi - lo] = x[:, lo:hi]
+            if hi > lo:     # shard may lie fully past the stream end
+                ext[:, ti, lo - s : lo - s + hi - lo] = x[:, lo:hi]
         return ext
 
     def _ingest(self, stream: np.ndarray, offset: int, span: int):

@@ -250,3 +250,191 @@ class LoopbackRadio:
                 process(payloads)
             except Exception as e:  # keep the radio alive on bad input
                 print(f"LoopbackRadio: dropped batch ({type(e).__name__}: {e})")
+
+
+# ---------------------------------------------------------------------------
+# Split TX / RX radios (the IRS_user / IRS_AP two-node topology)
+# ---------------------------------------------------------------------------
+
+_SAMP_CHUNK = 4096      # samples per UDP sample datagram (16 KiB of sc16)
+
+
+class TxRadio:
+    """The IRS_user node: UDP payloads -> MAC -> 802.11a TX -> sc16 I/Q
+    sample datagrams (the role of the SoapySDR HackRF sink,
+    IRS_user.py:161-173, with UDP standing in for RF).
+
+    Samples leave as raw interleaved int16 I/Q (UHD's native over-the-wire
+    format) in _SAMP_CHUNK-sample datagrams.
+    """
+
+    def __init__(self, in_port: int = 52001, samp_host: str = "127.0.0.1",
+                 samp_port: int = 52100, mcs: int = 2, scale: float = 0.5,
+                 batch: int = 4, phy_cfg: PhyConfig = PhyConfig()):
+        self.source = make_udp_source(port=in_port)
+        self.samp_addr = (samp_host, samp_port)
+        self.samp_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.mcs = mcs
+        self.scale = scale
+        self.batch = batch
+        self.cfg = phy_cfg
+        self.mac = macmod.Mac()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self.stats = {"datagrams_in": 0, "frames_tx": 0, "samples_tx": 0}
+
+    @property
+    def in_port(self) -> int:
+        return self.source.port
+
+    def start(self):
+        self.source.start()
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=5.0)
+        self.source.stop()
+        self.samp_sock.close()
+
+    def _emit(self, samples: np.ndarray):
+        from gnuradio_wifi_imagetransfer_tpu.utils.xfer import quantize_sc16, to_riq
+
+        sc16 = quantize_sc16(to_riq(samples))              # (N, 2) int16
+        for lo in range(0, sc16.shape[0], _SAMP_CHUNK):
+            self.samp_sock.sendto(sc16[lo : lo + _SAMP_CHUNK].tobytes(),
+                                  self.samp_addr)
+        self.stats["samples_tx"] += int(sc16.shape[0])
+
+    def _run(self):
+        import jax
+        import jax.numpy as jnp
+
+        from gnuradio_wifi_imagetransfer_tpu.phy import tx
+        from gnuradio_wifi_imagetransfer_tpu.utils.xfer import to_host
+
+        while not self._stop.is_set():
+            payloads = self.source.drain(self.batch, timeout=0.1)
+            if not payloads:
+                continue
+            self.stats["datagrams_in"] += len(payloads)
+            try:
+                by_len: dict[int, list[bytes]] = {}
+                for p in payloads:
+                    by_len.setdefault(len(p), []).append(p)
+                for group in by_len.values():
+                    n_real = len(group)
+                    # pad to the fixed batch so each length bucket compiles
+                    # once; duplicate frames are deduped by the receiver
+                    while len(group) < self.batch:
+                        group.append(group[-1])
+                    mpdus = np.stack([
+                        np.frombuffer(self.mac.frame(p), dtype=np.uint8)
+                        for p in group])
+                    bursts = tx.transmit(
+                        jnp.asarray(mpdus), self.mcs,
+                        scrambler_seed=jnp.arange(1, len(group) + 1))
+                    stream = to_host(tx.pad_burst(
+                        bursts, 100, 1000, scale=self.scale).reshape(-1))
+                    self._emit(stream)
+                    self.stats["frames_tx"] += n_real
+            except Exception as e:
+                print(f"TxRadio: dropped batch ({type(e).__name__}: {e})")
+
+
+class RxRadio:
+    """The IRS_AP node: sc16 I/Q sample datagrams -> SIGNAL-steered
+    streaming RX (AdaptiveStreamExecutor) -> MAC parse/FCS -> Extract-Pics
+    UDP out (IRS_AP.py:163-316 with UDP standing in for the USRP source).
+
+    Samples accumulate into a ring of super-blocks; each processing pass
+    keeps a worst-case-frame tail as overlap and dedups frames across
+    passes by their absolute sample index.
+    """
+
+    def __init__(self, samp_port: int = 52100, out_host: str = "127.0.0.1",
+                 out_port: int = 10010, chunk: int = 1 << 17,
+                 exec_cfg=None, phy_cfg: PhyConfig = PhyConfig(),
+                 algo=None):
+        from gnuradio_wifi_imagetransfer_tpu.config import ExecutorConfig
+        from gnuradio_wifi_imagetransfer_tpu.parallel.executor import (
+            AdaptiveStreamExecutor,
+        )
+        from gnuradio_wifi_imagetransfer_tpu.phy import params as phyparams
+        from gnuradio_wifi_imagetransfer_tpu.phy import sync as syncmod
+
+        self.samp_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.samp_sock.bind(("0.0.0.0", samp_port))
+        self.samp_sock.settimeout(0.1)
+        self.samp_port = self.samp_sock.getsockname()[1]
+        self.sink = make_udp_sink(out_host, out_port)
+        self.chunk = chunk
+        if exec_cfg is None:
+            exec_cfg = ExecutorConfig(block_size=1 << 15, time_shards=4,
+                                      max_frames_per_block=16)
+        self.ex = AdaptiveStreamExecutor(mesh=None, exec_cfg=exec_cfg,
+                                         phy_cfg=phy_cfg, algo=algo)
+        # overlap tail: the worst-case frame span at the slowest rate
+        self.tail = syncmod.window_len(
+            phyparams.n_symbols(0, phy_cfg.max_psdu_bytes))
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self.stats = {"samples_in": 0, "frames_ok": 0, "frames_crc_fail": 0}
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=10.0)
+        self.samp_sock.close()
+        self.sink.close()
+
+    def _run(self):
+        from gnuradio_wifi_imagetransfer_tpu.utils.xfer import SC16_FULL_SCALE
+
+        buf = np.zeros(0, np.complex64)
+        base = 0                       # absolute index of buf[0]
+        seen: set[int] = set()
+        last_rx = time.monotonic()
+        while not self._stop.is_set():
+            try:
+                data, _ = self.samp_sock.recvfrom(65536)
+                sc16 = np.frombuffer(data, np.int16).reshape(-1, 2)
+                samples = ((sc16[:, 0] + 1j * sc16[:, 1])
+                           * (SC16_FULL_SCALE / 32767.0)).astype(np.complex64)
+                buf = np.concatenate([buf, samples])
+                self.stats["samples_in"] += samples.size
+                last_rx = time.monotonic()
+            except socket.timeout:
+                pass
+            except OSError:
+                break
+            idle = time.monotonic() - last_rx > 0.3
+            if buf.size >= self.chunk or (idle and buf.size > self.tail):
+                try:
+                    self._process(buf, base, seen)
+                except Exception as e:
+                    print(f"RxRadio: dropped chunk ({type(e).__name__}: {e})")
+                keep = min(self.tail, buf.size)
+                base += buf.size - keep
+                buf = buf[-keep:].copy()
+                seen = {g for g in seen if g >= base}
+                last_rx = time.monotonic()
+
+    def _process(self, buf: np.ndarray, base: int, seen: set[int]):
+        for rec in self.ex.run(buf):
+            if not rec.parity_ok:
+                continue
+            gidx = base + rec.global_start
+            if gidx in seen or any(abs(gidx - s) <= 2 for s in seen):
+                continue
+            seen.add(gidx)
+            frame = macmod.parse(rec.psdu.tobytes())
+            if not frame.fcs_ok:
+                self.stats["frames_crc_fail"] += 1
+                continue
+            self.stats["frames_ok"] += 1
+            self.sink.send_mac_payload(frame.payload)

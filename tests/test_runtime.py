@@ -138,3 +138,53 @@ def test_full_reference_topology():
         sender.stop()
         radio.stop()
         receiver.stop()
+
+
+def test_split_radio_topology():
+    """The reference's two-node deployment: TxRadio (IRS_user: payloads ->
+    802.11a TX -> sc16 sample datagrams) and RxRadio (IRS_AP: sample
+    datagrams -> SIGNAL-steered streaming RX -> Extract-Pics UDP), with
+    UDP standing in for RF."""
+    from gnuradio_wifi_imagetransfer_tpu.config import ExecutorConfig
+    from gnuradio_wifi_imagetransfer_tpu.runtime.bridge import RxRadio, TxRadio
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)
+    pieces = imgutil.detach_image(img, rng=rng)           # 12 pieces
+
+    out_port = _free_port()
+    app_rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    app_rx.bind(("127.0.0.1", out_port))
+    app_rx.settimeout(30.0)
+
+    rx_cfg = ExecutorConfig(block_size=1 << 14, time_shards=4,
+                            max_frames_per_block=8)
+    rxr = RxRadio(samp_port=0, out_port=out_port, chunk=1 << 15,
+                  exec_cfg=rx_cfg).start()
+    txr = TxRadio(in_port=0, samp_port=rxr.samp_port, mcs=3, batch=4).start()
+    try:
+        tx_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for p in pieces:
+            tx_sock.sendto(imgutil.encode_piece(p), ("127.0.0.1", txr.in_port))
+            time.sleep(0.02)
+        import pickle
+        canvas = np.zeros_like(img)
+        seen = set()
+        deadline = time.time() + 120
+        while len(seen) < len(pieces) and time.time() < deadline:
+            try:
+                data, _ = app_rx.recvfrom(65536)
+            except socket.timeout:
+                break
+            piece = pickle.loads(data)
+            imgutil.redraw_image(piece, canvas)
+            seen.add(piece[0])
+        assert len(seen) == len(pieces), (
+            f"only {len(seen)}/{len(pieces)} pieces; "
+            f"tx {txr.stats}, rx {rxr.stats}")
+        assert np.array_equal(canvas, img)
+        assert rxr.stats["frames_ok"] >= len(pieces)
+    finally:
+        txr.stop()
+        rxr.stop()
+        app_rx.close()
