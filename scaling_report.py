@@ -1,7 +1,7 @@
 """Multi-host scaling-efficiency measurement (BASELINE: >=85% at 2 hosts).
 
-Weak-scaling protocol: every process (simulated host) contributes 4
-devices and the same per-device workload — a (channel, time) mesh slice of
+Weak-scaling protocol: every process (simulated host) contributes one
+core-pinned device and the same per-device workload — a (channel, time) mesh slice of
 the sharded RX step with its ppermute halo riding the inter-process (DCN)
 path. Efficiency = aggregate throughput at N hosts / (N x 1-host
 throughput). On this rig "hosts" are jax.distributed CPU processes
