@@ -138,7 +138,41 @@ def bench_device_step(ex, stream, n_iters=10, channels=None):
     return samples / dt / 1e6, out
 
 
+def _probe_backend(timeout_s: float = 180.0) -> str:
+    """Return the usable backend name, falling back to a fresh CPU process
+    if the (tunneled) accelerator does not answer a trivial op in time —
+    a dead tunnel must yield an honest CPU number, not a hung bench."""
+    import threading
+
+    result: dict = {}
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            jax.jit(lambda x: x * 2)(jnp.ones(2)).block_until_ready()
+            result["backend"] = jax.default_backend()
+        except Exception as e:
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "backend" in result:
+        return result["backend"]
+    if os.environ.get("GWT_BENCH_CPU_FALLBACK"):
+        raise RuntimeError(f"no usable backend: {result.get('error', 'probe hung')}")
+    sys.stderr.write("bench: accelerator probe failed "
+                     f"({result.get('error', 'hung')}); re-running on CPU\n")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GWT_BENCH_CPU_FALLBACK"] = "1"
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+
 def main():
+    backend = _probe_backend()
     data = build_streams()
     stream = data["primary"]
     payloads = data["primary_payloads"]
@@ -209,6 +243,9 @@ def main():
         "unit": "Msamples/s",
         "vs_baseline": round(pipeline_msps / TARGET_PER_CHIP_MSPS, 4),
         "detail": {
+            "backend": backend + (
+                " (CPU FALLBACK: accelerator tunnel unresponsive)"
+                if os.environ.get("GWT_BENCH_CPU_FALLBACK") else ""),
             "device_step_msps": round(device_msps, 2),
             "device_step_sweep": sweep,
             "pipeline_f32_msps": round(pipeline_f32_msps, 2),
