@@ -1,4 +1,4 @@
-"""Batched block-streaming executor — the GNU Radio scheduler replacement.
+"""Batched block-streaming executors — the GNU Radio scheduler replacement.
 
 The reference runs every PHY block on its own C++ thread over ring buffers
 (SURVEY.md §2.5.1); state (filter history, sync alignment) lives in each
@@ -17,10 +17,18 @@ block. Here the whole RX chain is one jit-compiled function mapped over a
   * the host streaming loop carries global sample offsets so frame
     records dedup by (channel, global_start) across super-blocks.
 
-Halo sizing: halo_right >= sync.window_len(n_sym) - MARGIN covers the
-worst frame straddle; halo_left >= MARGIN + 80 covers statistics warm-up
-and the extraction margin (cf. the reference's delay(sync_length)
-IRS_AP.py:282).
+Two executors share this machinery (_StreamExecutorBase):
+
+  StreamExecutor          fixed (MCS, length) plan — full decode inside the
+                          sharded step. Halo sizing: halo_right >=
+                          sync.window_len(n_sym) - MARGIN covers the worst
+                          frame straddle.
+  AdaptiveStreamExecutor  runtime MCS steering — the sharded step decodes
+                          only SIGNAL (tiny halo); payloads decode in
+                          host-bucketed per-(rate, length) stage-B jits.
+
+halo_left >= MARGIN + 80 covers statistics warm-up and the extraction
+margin in both (cf. the reference's delay(sync_length), IRS_AP.py:282).
 """
 
 from __future__ import annotations
@@ -80,30 +88,21 @@ class FrameRecord:
     snr_db: float = float("nan")   # decision-directed EVM SNR (probe analogue)
 
 
-class StreamExecutor:
-    """Streaming RX over a (channel, time) mesh.
+class _StreamExecutorBase:
+    """Shared scaffolding: block layout, halo exchange, wire format, and
+    the double-buffered host dispatch loop. Subclasses provide
+    ``halo_right`` (before calling _init_common) and ``_block_fn`` —
+    the per-extended-block device computation returning one packed
+    float32 vector."""
 
-    Usage:
-        ex = StreamExecutor(plan, mesh, exec_cfg, phy_cfg)
-        frames = ex.run(stream)         # stream: (channels, n_samples)
-    """
-
-    def __init__(
-        self,
-        plan: TxPlan,
-        mesh: Mesh | None = None,
-        exec_cfg: ExecutorConfig = ExecutorConfig(),
-        phy_cfg: PhyConfig = PhyConfig(),
-        tracer=None,
-    ):
+    def _init_common(self, mesh: Mesh | None, exec_cfg: ExecutorConfig,
+                     phy_cfg: PhyConfig, tracer) -> None:
         from gnuradio_wifi_imagetransfer_tpu.utils import tracing
 
-        self.plan = plan
         self.mesh = mesh
         self.cfg = exec_cfg
         self.phy = phy_cfg
         self.tracer = tracer if tracer is not None else tracing.Tracer()
-        self.halo_right = sync.window_len(plan.n_sym)
         self.block = exec_cfg.block_size
         self.max_frames = exec_cfg.max_frames_per_block
         if mesh is not None:
@@ -111,49 +110,10 @@ class StreamExecutor:
         else:
             self._step = self._build_local_step()
 
-    # ------------------------------------------------------------------
-    # jitted steps
-    # ------------------------------------------------------------------
+    # -- device steps --------------------------------------------------
 
-    def _receive_bounded(self, ext: jnp.ndarray):
-        """Decode one extended block (halo_left + block + halo_right,);
-        only sync edges inside the owned [halo_left, halo_left + block)
-        region are claimed."""
-        windows, frame_start, cand = sync.synchronize(
-            ext, self.plan.n_sym, self.max_frames, self.phy,
-            search_lo=HALO_LEFT, search_hi=HALO_LEFT + self.block,
-        )
-        res = rx.decode_aligned(windows, self.plan, start=frame_start)
-        return res, cand
-
-    def _outputs(self, res, cand):
-        from gnuradio_wifi_imagetransfer_tpu.utils.tracing import evm_snr_db
-
-        # one packed float32 vector per block (see _pack_f32); bools leave
-        # the device as numeric — the axon TPU tunnel cannot transfer bool
-        # (or complex) arrays to the host (see utils/xfer.py)
-        return _pack_f32([
-            res.psdu,                     # K * L
-            cand.valid,                   # K
-            cand.starts - HALO_LEFT,      # K  block-relative edge position
-            cand.cfo,                     # K
-            res.sig["rate_idx"],          # K
-            res.sig["length"],            # K
-            res.sig["parity_ok"],         # K
-            evm_snr_db(res.eq_symbols, self.plan.mcs),   # K  SNR probe analogue
-        ])
-
-    def _unpack(self, flat: np.ndarray):
-        """(C, T, F) packed step output -> the 8 logical arrays."""
-        k, l = self.max_frames, self.plan.psdu_len
-        lead = flat.shape[:-1]
-        psdu = flat[..., : k * l].reshape(lead + (k, l)).astype(np.uint8)
-        rest = flat[..., k * l :].reshape(lead + (7, k))
-        valid, starts, cfo, rate_idx, length, parity, snr = (
-            rest[..., i, :] for i in range(7))
-        return (psdu, valid, starts.astype(np.int64), cfo,
-                rate_idx.astype(np.int32), length.astype(np.int32),
-                parity, snr)
+    def _block_fn(self, ext: jnp.ndarray) -> jnp.ndarray:
+        raise NotImplementedError
 
     def _build_local_step(self):
         # I/O crosses the jit boundary as (..., 2) real/imag pairs (float32
@@ -163,15 +123,10 @@ class StreamExecutor:
         @jax.jit
         def step(blocks_riq):             # (C, T, halo_l + block + halo_r, 2)
             blocks = from_wire(blocks_riq)
-
-            def one(ext):
-                res, cand = self._receive_bounded(ext)
-                return self._outputs(res, cand)
-
             c, t, e = blocks.shape
             # single-level vmap over the flattened (C*T) block axis: nested
             # vmaps of this pipeline stall the TPU compiler service
-            out = jax.vmap(one)(blocks.reshape(c * t, e))
+            out = jax.vmap(self._block_fn)(blocks.reshape(c * t, e))
             return out.reshape((c, t) + out.shape[1:])
 
         return step
@@ -189,12 +144,7 @@ class StreamExecutor:
             right_halo = jax.lax.ppermute(
                 x_local[:, : self.halo_right], "time", perm=right_src)
             ext = jnp.concatenate([left_halo, x_local, right_halo], axis=-1)
-
-            def one(e):
-                res, cand = self._receive_bounded(e)
-                return self._outputs(res, cand)
-
-            out = jax.vmap(one)(ext)
+            out = jax.vmap(self._block_fn)(ext)
             return out[:, None]           # re-insert time-block dim
 
         from jax import shard_map
@@ -209,9 +159,7 @@ class StreamExecutor:
         )
         return jax.jit(smapped)
 
-    # ------------------------------------------------------------------
-    # host streaming loop
-    # ------------------------------------------------------------------
+    # -- host side -----------------------------------------------------
 
     def _layout(self, x: np.ndarray, offset: int):
         """Slice (C, N) into the per-step block tensor.
@@ -249,6 +197,92 @@ class StreamExecutor:
                     blocks, NamedSharding(self.mesh, P("channel", "time")))
         return self._step(jnp.asarray(blocks))      # async dispatch
 
+    def _stepped(self, stream: np.ndarray):
+        """Double-buffered dispatch: yields (offset, outs) per super-block.
+        Super-block k+1 is laid out and dispatched before k's results are
+        consumed, so host work overlaps device compute (JAX dispatch is
+        async).
+
+        Mesh mode overlaps super-block strides: the ring ppermute wraps the
+        last shard's right halo within the super-block, so edges near the
+        seam re-scan with true context on the next stride; the caller's
+        dedup keeps one record.
+        """
+        c, n = stream.shape
+        t = self.mesh.shape["time"] if self.mesh is not None else self.cfg.time_shards
+        span = t * self.block
+        if self.mesh is not None:
+            stride = max(self.block, span - (self.halo_right + HALO_LEFT))
+        else:
+            stride = span  # local layout reads true straddle context
+        pending = None
+        for offset in range(0, n, stride):
+            outs = self._ingest(stream, offset, span)
+            if pending is not None:
+                yield pending
+            pending = (offset, outs, span)
+        if pending is not None:
+            yield pending
+
+
+class StreamExecutor(_StreamExecutorBase):
+    """Streaming RX over a (channel, time) mesh with a FIXED (MCS, length)
+    plan — the full decode runs inside the sharded step.
+
+    Usage:
+        ex = StreamExecutor(plan, mesh, exec_cfg, phy_cfg)
+        frames = ex.run(stream)         # stream: (channels, n_samples)
+    """
+
+    def __init__(
+        self,
+        plan: TxPlan,
+        mesh: Mesh | None = None,
+        exec_cfg: ExecutorConfig = ExecutorConfig(),
+        phy_cfg: PhyConfig = PhyConfig(),
+        tracer=None,
+    ):
+        self.plan = plan
+        self.halo_right = sync.window_len(plan.n_sym)
+        self._init_common(mesh, exec_cfg, phy_cfg, tracer)
+
+    def _block_fn(self, ext: jnp.ndarray) -> jnp.ndarray:
+        """Decode one extended block (halo_left + block + halo_right,);
+        only sync edges inside the owned [halo_left, halo_left + block)
+        region are claimed."""
+        from gnuradio_wifi_imagetransfer_tpu.utils.tracing import evm_snr_db
+
+        windows, frame_start, cand = sync.synchronize(
+            ext, self.plan.n_sym, self.max_frames, self.phy,
+            search_lo=HALO_LEFT, search_hi=HALO_LEFT + self.block,
+        )
+        res = rx.decode_aligned(windows, self.plan, start=frame_start)
+        # one packed float32 vector per block (see _pack_f32); bools leave
+        # the device as numeric — the axon TPU tunnel cannot transfer bool
+        # (or complex) arrays to the host (see utils/xfer.py)
+        return _pack_f32([
+            res.psdu,                     # K * L
+            cand.valid,                   # K
+            cand.starts - HALO_LEFT,      # K  block-relative edge position
+            cand.cfo,                     # K
+            res.sig["rate_idx"],          # K
+            res.sig["length"],            # K
+            res.sig["parity_ok"],         # K
+            evm_snr_db(res.eq_symbols, self.plan.mcs),   # K  SNR probe analogue
+        ])
+
+    def _unpack(self, flat: np.ndarray):
+        """(C, T, F) packed step output -> the 8 logical arrays."""
+        k, l = self.max_frames, self.plan.psdu_len
+        lead = flat.shape[:-1]
+        psdu = flat[..., : k * l].reshape(lead + (k, l)).astype(np.uint8)
+        rest = flat[..., k * l :].reshape(lead + (7, k))
+        valid, starts, cfo, rate_idx, length, parity, snr = (
+            rest[..., i, :] for i in range(7))
+        return (psdu, valid, starts.astype(np.int64), cfo,
+                rate_idx.astype(np.int32), length.astype(np.int32),
+                parity, snr)
+
     def _collect(self, offset: int, outs, n: int, span: int,
                  records: dict[tuple[int, int], FrameRecord]) -> None:
         c = outs.shape[0]
@@ -285,38 +319,17 @@ class StreamExecutor:
         """Process a full (channels, n_samples) stream; returns deduped
         frame records sorted by (channel, global_start).
 
-        The loop is double-buffered: super-block k+1 is laid out and
-        dispatched before super-block k's results are fetched, so host
-        ingest/collect overlaps device compute (JAX dispatch is async).
+        NOTE: frames whose edge falls within the last halo_right of the
+        final super-block are decoded with ring-wrapped context in mesh
+        mode; dedup plus per-frame parity/FCS screening keeps results
+        exact, and streams should end with >= halo_right pad samples
+        (pad_burst's 1000-sample tail already satisfies this).
         """
         stream = np.atleast_2d(stream)
-        c, n = stream.shape
-        t = self.mesh.shape["time"] if self.mesh is not None else self.cfg.time_shards
-        span = t * self.block
-        if self.mesh is not None:
-            # mesh mode: the last shard's right halo wraps around the ring,
-            # so frames straddling a super-block boundary decode garbage
-            # there; overlapping super-blocks re-claims them with proper
-            # context and the dedup map keeps exactly one good record.
-            stride = max(self.block, span - (self.halo_right + HALO_LEFT))
-        else:
-            stride = span  # local layout reads true straddle context
+        n = stream.shape[1]
         records: dict[tuple[int, int], FrameRecord] = {}
-        pending: tuple[int, tuple] | None = None
-        for offset in range(0, n, stride):
-            outs = self._ingest(stream, offset, span)
-            if pending is not None:
-                self._collect(pending[0], pending[1], n, span, records)
-            pending = (offset, outs)
-        if pending is not None:
-            self._collect(pending[0], pending[1], n, span, records)
-            # NOTE: frames whose edge falls within the last halo_right of a
-            # super-block are claimed by the shard that owns the edge; the
-            # ring ppermute wraps the halo, so the final shard of the LAST
-            # super-block may see wrapped context. The dedup map plus
-            # per-frame parity/FCS screening keeps results exact; streams
-            # should end with >= halo_right pad samples (pad_burst's 1000-
-            # sample tail already satisfies this).
+        for offset, outs, span in self._stepped(stream):
+            self._collect(offset, outs, n, span, records)
         return sorted(records.values(), key=lambda r: (r.channel, r.global_start))
 
 
@@ -368,7 +381,7 @@ def _stage_b_fn(mcs: int, psdu_len: int, algo: int):
     return fn, plan, wlen
 
 
-class AdaptiveStreamExecutor:
+class AdaptiveStreamExecutor(_StreamExecutorBase):
     """Streaming RX over a (channel, time) mesh with runtime MCS steering.
 
     The reference RX never knows the MCS in advance: frame_equalizer decodes
@@ -399,29 +412,16 @@ class AdaptiveStreamExecutor:
         tracer=None,
         algo: ChannelEstimator | None = None,
     ):
-        from gnuradio_wifi_imagetransfer_tpu.utils import tracing
-
-        self.mesh = mesh
-        self.cfg = exec_cfg
-        self.phy = phy_cfg
         self.algo = ChannelEstimator(
             phy_cfg.chan_est if algo is None else algo)
-        self.tracer = tracer if tracer is not None else tracing.Tracer()
-        self.block = exec_cfg.block_size
-        self.max_frames = exec_cfg.max_frames_per_block
         # extraction cuts MARGIN before the edge; the window then extends
         # (wlen - MARGIN) past the last owned edge position
         self.halo_right = _SIG_WLEN - sync.MARGIN
-        if mesh is not None:
-            self._step = self._build_sharded_step(mesh)
-        else:
-            self._step = self._build_local_step()
+        self._init_common(mesh, exec_cfg, phy_cfg, tracer)
 
-    # ------------------------------------------------------------------
-    # stage A
-    # ------------------------------------------------------------------
+    # -- stage A -------------------------------------------------------
 
-    def _stage_a_one(self, ext: jnp.ndarray):
+    def _block_fn(self, ext: jnp.ndarray) -> jnp.ndarray:
         """SIGNAL-only receive on one extended block."""
         windows, frame_start, cand = sync.synchronize(
             ext, 0, self.max_frames, self.phy,
@@ -450,76 +450,6 @@ class AdaptiveStreamExecutor:
         return (valid, starts.astype(np.int64), cfo,
                 frame_start.astype(np.int32), rate_idx.astype(np.int32),
                 length.astype(np.int32), sig_ok)
-
-    def _build_local_step(self):
-        @jax.jit
-        def step(blocks_riq):              # (C, T, HALO_LEFT+block+halo_r, 2)
-            blocks = from_wire(blocks_riq)
-            c, t, e = blocks.shape
-            out = jax.vmap(self._stage_a_one)(blocks.reshape(c * t, e))
-            return out.reshape((c, t) + out.shape[1:])
-
-        return step
-
-    def _build_sharded_step(self, mesh: Mesh):
-        t = mesh.shape["time"]
-
-        def shard_fn(x_local_riq):         # (C_local, 1, block, 2)
-            x_local = from_wire(x_local_riq[:, 0])
-            right_src = [(i, (i - 1) % t) for i in range(t)]
-            left_src = [(i, (i + 1) % t) for i in range(t)]
-            left_halo = jax.lax.ppermute(
-                x_local[:, -HALO_LEFT:], "time", perm=left_src)
-            right_halo = jax.lax.ppermute(
-                x_local[:, : self.halo_right], "time", perm=right_src)
-            ext = jnp.concatenate([left_halo, x_local, right_halo], axis=-1)
-            out = jax.vmap(self._stage_a_one)(ext)
-            return out[:, None]
-
-        from jax import shard_map
-
-        smapped = shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=P("channel", "time"),
-            out_specs=P("channel", "time"),
-            check_vma=False,
-        )
-        return jax.jit(smapped)
-
-    # ------------------------------------------------------------------
-    # host loop
-    # ------------------------------------------------------------------
-
-    def _layout(self, x: np.ndarray, offset: int):
-        c = x.shape[0]
-        t = self.mesh.shape["time"] if self.mesh is not None else self.cfg.time_shards
-        span = t * self.block
-        chunk = x[:, offset : offset + span]
-        if chunk.shape[1] < span:
-            chunk = np.pad(chunk, ((0, 0), (0, span - chunk.shape[1])))
-        if self.mesh is not None:
-            return chunk.reshape(c, t, self.block)
-        ext_len = HALO_LEFT + self.block + self.halo_right
-        ext = np.zeros((c, t, ext_len), dtype=x.dtype)
-        for ti in range(t):
-            s = offset + ti * self.block - HALO_LEFT
-            e = s + ext_len
-            lo, hi = max(s, 0), min(e, x.shape[1])
-            if hi > lo:     # shard may lie fully past the stream end
-                ext[:, ti, lo - s : lo - s + hi - lo] = x[:, lo:hi]
-        return ext
-
-    def _ingest(self, stream: np.ndarray, offset: int, span: int):
-        c = stream.shape[0]
-        with self.tracer.stage("ingest", samples=c * span):
-            blocks = to_riq(self._layout(stream, offset))
-            if self.cfg.wire_format == "sc16":
-                blocks = quantize_sc16(blocks)
-            if self.mesh is not None:
-                blocks = jax.device_put(
-                    blocks, NamedSharding(self.mesh, P("channel", "time")))
-        return self._step(jnp.asarray(blocks))
 
     def _collect_candidates(
         self, offset: int, outs, n: int, span: int,
@@ -556,6 +486,8 @@ class AdaptiveStreamExecutor:
                     length=int(length[ci, ti, ki]),
                 ))
         return cands
+
+    # -- stage B -------------------------------------------------------
 
     def _cut_window(self, stream: np.ndarray, ch: int, gstart: int,
                     wlen: int) -> np.ndarray:
@@ -621,31 +553,13 @@ class AdaptiveStreamExecutor:
         """Process a (channels, n_samples) stream of UNKNOWN per-frame MCS;
         returns frame records sorted by (channel, global_start).
 
-        Double-buffered like StreamExecutor.run: stage A for super-block
-        k+1 is dispatched before k's candidates are fetched; stage B decode
-        of k's frames then overlaps stage A of k+1 on device queues.
-        """
+        Stage B decode of super-block k overlaps stage A of k+1 on the
+        device queue (the base loop dispatches ahead)."""
         stream = np.atleast_2d(np.ascontiguousarray(stream, dtype=np.complex64))
-        c, n = stream.shape
-        t = self.mesh.shape["time"] if self.mesh is not None else self.cfg.time_shards
-        span = t * self.block
-        if self.mesh is not None:
-            # the ring ppermute wraps the last shard's right halo within the
-            # super-block; overlapping strides re-detect edges near the seam
-            # with true context (cheap: halo is only ~1k samples now)
-            stride = max(self.block, span - (self.halo_right + HALO_LEFT))
-        else:
-            stride = span
+        n = stream.shape[1]
         seen: set[tuple[int, int]] = set()
         records: list[FrameRecord] = []
-        pending: tuple[int, tuple] | None = None
-        for offset in range(0, n, stride):
-            outs = self._ingest(stream, offset, span)
-            if pending is not None:
-                cands = self._collect_candidates(pending[0], pending[1], n, span, seen)
-                records.extend(self._stage_b(stream, cands))
-            pending = (offset, outs)
-        if pending is not None:
-            cands = self._collect_candidates(pending[0], pending[1], n, span, seen)
+        for offset, outs, span in self._stepped(stream):
+            cands = self._collect_candidates(offset, outs, n, span, seen)
             records.extend(self._stage_b(stream, cands))
         return sorted(records, key=lambda r: (r.channel, r.global_start))
