@@ -139,36 +139,34 @@ def bench_device_step(ex, stream, n_iters=10, channels=None):
 
 
 def _probe_backend(timeout_s: float = 180.0) -> str:
-    """Return the usable backend name, falling back to a fresh CPU process
-    if the (tunneled) accelerator does not answer a trivial op in time —
-    a dead tunnel must yield an honest CPU number, not a hung bench."""
-    import threading
+    """Return the usable backend name, flipping this process to the CPU
+    backend if the (tunneled) accelerator does not answer a trivial op in
+    time — a dead tunnel must yield an honest CPU number, not a hung
+    bench. The probe runs in a SUBPROCESS: a wedged PJRT call can hang
+    while holding the GIL, which would deadlock any in-process timeout."""
+    code = ("import jax, jax.numpy as jnp;"
+            "jax.jit(lambda x: x * 2)(jnp.ones(2)).block_until_ready();"
+            "print('BACKEND', jax.default_backend())")
+    err = "probe failed"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s)
+        for line in r.stdout.splitlines():
+            if line.startswith("BACKEND "):
+                return line.split()[1]
+        err = (r.stderr or r.stdout)[-300:]
+    except subprocess.TimeoutExpired:
+        err = f"no response in {timeout_s:.0f}s (tunnel wedged)"
+    sys.stderr.write(f"bench: accelerator probe failed ({err}); "
+                     "falling back to the CPU backend\n")
+    # no jax op has run in THIS process yet, so the lazy backend can still
+    # be redirected (same trick as tests/conftest.py)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["GWT_BENCH_CPU_FALLBACK"] = "1"
+    import jax
 
-    result: dict = {}
-
-    def probe():
-        try:
-            import jax
-            import jax.numpy as jnp
-
-            jax.jit(lambda x: x * 2)(jnp.ones(2)).block_until_ready()
-            result["backend"] = jax.default_backend()
-        except Exception as e:
-            result["error"] = repr(e)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if "backend" in result:
-        return result["backend"]
-    if os.environ.get("GWT_BENCH_CPU_FALLBACK"):
-        raise RuntimeError(f"no usable backend: {result.get('error', 'probe hung')}")
-    sys.stderr.write("bench: accelerator probe failed "
-                     f"({result.get('error', 'hung')}); re-running on CPU\n")
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["GWT_BENCH_CPU_FALLBACK"] = "1"
-    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu"
 
 
 def main():

@@ -60,6 +60,14 @@ def sync_stats(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     whose windows are not yet filled hold partial sums (like the
     streaming blocks after reset).
     """
+    import os
+
+    if os.environ.get("GWT_PALLAS_SYNC") not in (None, "0", "false", ""):
+        # fused banded-matmul kernel (ops/pallas_sync.py); opt-in pending
+        # on-hardware validation, mirroring the FFT/FIR kernel gates
+        from gnuradio_wifi_imagetransfer_tpu.ops import pallas_sync
+
+        return pallas_sync.sync_stats(x)
     xm16 = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(16, 0)])[..., : x.shape[-1]]
     m = x * jnp.conj(xm16)
     a = _moving_sum(m, 48)
