@@ -1,5 +1,10 @@
-"""Hot-path ops: FIR/polyphase resampler, Pallas TPU kernels."""
+"""Hot-path ops: FIR/polyphase resampler + Pallas TPU kernels
+(pallas_viterbi, pallas_fft, pallas_fir, pallas_sync)."""
 
 from gnuradio_wifi_imagetransfer_tpu.ops.resampler import (  # noqa: F401
-    design_lowpass, polyphase_resample, rational_resampler,
+    correct_sample_clock,
+    design_lowpass,
+    fir_filter,
+    polyphase_resample,
+    rational_resampler,
 )

@@ -7,7 +7,10 @@ parameters (wifi_phy_hier.grc:533-549), so TX-side encoding changes
 (IRS_user.py:130-132, GUI-selectable 0..7) need no RX reconfiguration.
 
 TPU rebuild: data-dependent shapes can't steer a single jit, so reception is
-split into two stages around a host dispatch:
+split into two stages around a host dispatch. (This module is the simple
+single-stream form; the sharded streaming form with tiny SIGNAL-only
+stage-A windows is parallel/executor.py's AdaptiveStreamExecutor — prefer
+it for anything beyond one-shot buffers.)
 
   stage A (one jit, static shapes): dense sync front-end over the raw
     stream + SIGNAL-only decode for every candidate — windows are cut long
