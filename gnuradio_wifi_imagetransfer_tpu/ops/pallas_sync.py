@@ -37,12 +37,16 @@ _HI = jax.lax.Precision.HIGHEST
 
 @functools.cache
 def _mats():
+    # NOTE: cached as NUMPY, not jnp — jnp.asarray inside a jit trace
+    # yields tracers, and caching those leaks them across traces (same
+    # pitfall documented at phy/viterbi.py _tables). Callers convert;
+    # the conversion folds to constants under jit.
     h16 = np.zeros(17, np.float32)
     h16[16] = 1.0
     a16, b16 = _fir_mats(h16.tobytes(), 17)
     a48, b48 = _fir_mats(np.ones(48, np.float32).tobytes(), 48)
     a64, b64 = _fir_mats(np.ones(64, np.float32).tobytes(), 64)
-    return tuple(jnp.asarray(m) for m in (a16, b16, a48, b48, a64, b64))
+    return (a16, b16, a48, b48, a64, b64)
 
 
 def _kernel(xr0, xr1, xr2, xi0, xi1, xi2, a16, b16, a48, b48, a64, b64,
@@ -85,7 +89,7 @@ def _stats_1d(x: jnp.ndarray, interpret: bool):
     # two zero history rows ahead of the stream (the kernel reads r-1, r-2)
     xr2 = jnp.pad(xr, ((2, 0), (0, 0)))
     xi2 = jnp.pad(xi, ((2, 0), (0, 0)))
-    mats = _mats()
+    mats = tuple(jnp.asarray(m) for m in _mats())
 
     grid = (rows // _RB,)
     cur = pl.BlockSpec((_RB, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
