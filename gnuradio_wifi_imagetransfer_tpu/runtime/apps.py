@@ -25,8 +25,10 @@ Behavioral parity:
 from __future__ import annotations
 
 import base64
+import functools
 import io
 import json
+import pathlib
 import pickle
 import queue
 import socket
@@ -40,42 +42,33 @@ import numpy as np
 from gnuradio_wifi_imagetransfer_tpu.config import AppConfig
 from gnuradio_wifi_imagetransfer_tpu.utils import image as imgutil
 
-_CSS = """<style>
-body { font-family: system-ui, sans-serif; max-width: 640px; margin: 2rem auto;
-       padding: 0 1rem; color: #222; background: #fafafa; }
-h2 { border-bottom: 2px solid #4a7dbd; padding-bottom: .3rem; }
-form { background: #fff; border: 1px solid #ddd; border-radius: 8px;
-       padding: 1rem; margin: 1rem 0; }
-button { background: #4a7dbd; color: #fff; border: 0; border-radius: 5px;
-         padding: .45rem 1.2rem; cursor: pointer; }
-button:hover { background: #38639a; }
-input { margin: .25rem 0; padding: .3rem; }
-img { border: 1px solid #ccc; border-radius: 6px; background: #000; }
-#count { font-weight: 600; }
-</style>"""
+_PKG_DIR = pathlib.Path(__file__).parent
+_STATIC_TYPES = {".css": "text/css", ".js": "text/javascript",
+                 ".html": "text/html"}
 
-_SENDER_HTML = """<!doctype html><html><head><title>{title}</title>{css}</head>
-<body><h2>{title}</h2>
-<form action="/send_image" method="post" enctype="multipart/form-data">
-{inputs}
-<label>UDP port: <input type="text" name="port" value="{port}"/></label><br/>
-<button type="submit">Send</button></form>
-<form action="/stop" method="post"><button type="submit">Stop</button></form>
-<p>{status}</p></body></html>"""
 
-_RECEIVER_HTML = """<!doctype html><html><head><title>{title}</title>{css}</head>
-<body><h2>{title}</h2>{controls}
-<img id="im" width="300" height="300" style="image-rendering:pixelated"/>
-<p>pieces received: <span id="count">0</span></p>
-<script>
-const es = new EventSource('/events');
-es.onmessage = (e) => {{
-  const d = JSON.parse(e.data);
-  document.getElementById('im').src = 'data:image/jpeg;base64,' + d.image;
-  if (d.pieces !== undefined)
-    document.getElementById('count').textContent = d.pieces;
-}};
-</script></body></html>"""
+@functools.cache
+def _template(name: str) -> str:
+    """Load a page template from runtime/templates/ — real files like the
+    reference's templates/ dir (sender.html / receiver.html …)."""
+    return (_PKG_DIR / "templates" / name).read_text()
+
+
+def _serve_static(handler, path: str) -> bool:
+    """GET /static/<file> from runtime/static/ (reference's static/ dir)."""
+    if not path.startswith("/static/"):
+        return False
+    target = (_PKG_DIR / "static" / path[len("/static/"):]).resolve()
+    if target.parent != (_PKG_DIR / "static").resolve() or not target.is_file():
+        handler.send_response(404)
+        handler.end_headers()
+        return True
+    handler.send_response(200)
+    handler.send_header(
+        "Content-Type", _STATIC_TYPES.get(target.suffix, "application/octet-stream"))
+    handler.end_headers()
+    handler.wfile.write(target.read_bytes())
+    return True
 
 
 def _jpeg_b64(arr: np.ndarray) -> str:
@@ -210,11 +203,14 @@ def _make_sender_handler(app, n_images: int = 1):
             pass
 
         def do_GET(self):
+            if _serve_static(self, self.path):
+                return
             inputs = "".join(
                 f'<input type="file" name="image{i}"/><br/>' for i in range(n_images))
-            body = _SENDER_HTML.format(title=type(app).__name__, inputs=inputs,
-                                       port=app.cfg.tx_port, css=_CSS,
-                                       status="sending" if app.sender else "idle")
+            body = _template("sender.html").format(
+                title=type(app).__name__, inputs=inputs,
+                port=app.cfg.tx_port,
+                status="sending" if app.sender else "idle")
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
             self.end_headers()
@@ -406,13 +402,15 @@ def _make_receiver_handler(app):
             pass
 
         def do_GET(self):
+            if _serve_static(self, self.path):
+                return
             if self.path == "/":
                 controls = ""
                 if isinstance(app, FeatureMapReceiverApp):
                     controls = (f'<p>user id: <input id="uid" value="{app.user_id}"/>'
                                 '<button onclick="fetch(\'/set_user?id=\'+document.getElementById(\'uid\').value, {method:\'POST\'})">set</button></p>')
-                body = _RECEIVER_HTML.format(title=type(app).__name__,
-                                             controls=controls, css=_CSS)
+                body = _template("receiver.html").format(
+                    title=type(app).__name__, controls=controls)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
                 self.end_headers()

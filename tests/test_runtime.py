@@ -98,11 +98,18 @@ def test_apps_direct_wire():
             time.sleep(0.1)
         assert n >= 12
         assert np.array_equal(receiver.canvas, img)
-        # root pages render
+        # root pages render from the packaged templates/ files
         with urllib.request.urlopen(f"http://127.0.0.1:{sender.port}/", timeout=5) as r:
             assert b"send_image" in r.read()
         with urllib.request.urlopen(f"http://127.0.0.1:{receiver.port}/", timeout=5) as r:
+            assert b"/static/receiver.js" in r.read()
+        # static assets served from the packaged static/ dir
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{receiver.port}/static/receiver.js", timeout=5) as r:
             assert b"EventSource" in r.read()
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{sender.port}/static/style.css", timeout=5) as r:
+            assert b"font-family" in r.read()
         assert receiver.last_image_b64          # SSE payload was produced
     finally:
         sender.stop()
