@@ -86,6 +86,11 @@ class FrameRecord:
     length: int
     cfo: float
     snr_db: float = float("nan")   # decision-directed EVM SNR (probe analogue)
+    # equalized data-carrier symbols (n_sym, 48) complex64 — populated only
+    # when the executor runs with capture_symbols=True (the analogue of
+    # frame_equalizer's "symbols" msg port feeding the constellation GUI,
+    # IRS_AP.py:267,293); None otherwise to keep fetches small
+    eq_symbols: np.ndarray | None = None
 
 
 class _StreamExecutorBase:
@@ -356,9 +361,14 @@ class _Candidate:
 
 
 @functools.lru_cache(maxsize=64)
-def _stage_b_fn(mcs: int, psdu_len: int, algo: int):
+def _stage_b_fn(mcs: int, psdu_len: int, algo: int,
+                capture_symbols: bool = False):
     """jitted payload decode for one (MCS, length) bucket: raw windows +
-    total CFO + alignment -> PSDU bytes (+ SIGNAL re-check + EVM SNR)."""
+    total CFO + alignment -> PSDU bytes (+ SIGNAL re-check + EVM SNR).
+
+    With capture_symbols the packed row also carries the equalized data
+    symbols as 2*n_sym*48 re/im floats — the frame_equalizer "symbols"
+    message-port analogue (IRS_AP.py:267,293)."""
     from gnuradio_wifi_imagetransfer_tpu.utils.tracing import evm_snr_db
 
     plan = TxPlan(mcs, psdu_len)
@@ -371,12 +381,20 @@ def _stage_b_fn(mcs: int, psdu_len: int, algo: int):
         w = raw * jnp.exp(-1j * cfo[:, None] * n)             # same ramp origin
         r = rx.decode_aligned(w, plan, start=frame_start,
                               algo=ChannelEstimator(algo))
-        # pack (B, L + 2): psdu bytes | parity | snr — one fetch per bucket
-        return jnp.concatenate([
+        # pack (B, L + 2 [+ 2*S*48]): psdu | parity | snr | [symbols] —
+        # one fetch per bucket
+        parts = [
             r.psdu.astype(jnp.float32),
             r.sig["parity_ok"].astype(jnp.float32)[:, None],
             evm_snr_db(r.eq_symbols, plan.mcs)[:, None],
-        ], axis=-1)
+        ]
+        if capture_symbols:
+            b = r.eq_symbols.shape[0]
+            parts.append(jnp.concatenate([
+                jnp.real(r.eq_symbols).reshape(b, -1),
+                jnp.imag(r.eq_symbols).reshape(b, -1),
+            ], axis=-1).astype(jnp.float32))
+        return jnp.concatenate(parts, axis=-1)
 
     return fn, plan, wlen
 
@@ -411,9 +429,11 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
         phy_cfg: PhyConfig = PhyConfig(),
         tracer=None,
         algo: ChannelEstimator | None = None,
+        capture_symbols: bool = False,
     ):
         self.algo = ChannelEstimator(
             phy_cfg.chan_est if algo is None else algo)
+        self.capture_symbols = capture_symbols
         # extraction cuts MARGIN before the edge; the window then extends
         # (wlen - MARGIN) past the last owned edge position
         self.halo_right = _SIG_WLEN - sync.MARGIN
@@ -505,7 +525,8 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
         bucket: list[_Candidate],
     ) -> list[FrameRecord]:
         mcs, ln = bucket[0].rate_idx, bucket[0].length
-        fn, plan, wlen = _stage_b_fn(mcs, ln, int(self.algo))
+        fn, plan, wlen = _stage_b_fn(mcs, ln, int(self.algo),
+                                     self.capture_symbols)
         b = len(bucket)
         # pad the batch to the next power of two: compile count per plan is
         # O(log max_batch) instead of one program per batch size
@@ -524,6 +545,12 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
             jnp.asarray(wire), jnp.asarray(cfo), jnp.asarray(fstart)))
         psdu = packed[:, :ln].astype(np.uint8)
         parity, snr = packed[:, ln], packed[:, ln + 1]
+        symbols = None
+        if self.capture_symbols:
+            flat = packed[:, ln + 2:]
+            half = flat.shape[1] // 2
+            symbols = (flat[:, :half] + 1j * flat[:, half:]).astype(
+                np.complex64).reshape(len(packed), plan.n_sym, 48)
         recs = []
         for i, cand in enumerate(bucket):
             recs.append(FrameRecord(
@@ -535,6 +562,7 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
                 length=ln,
                 cfo=cand.cfo,
                 snr_db=float(snr[i]),
+                eq_symbols=None if symbols is None else symbols[i],
             ))
         return recs
 

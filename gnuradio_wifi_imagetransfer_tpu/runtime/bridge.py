@@ -356,13 +356,14 @@ class RxRadio:
     def __init__(self, samp_port: int = 52100, out_host: str = "127.0.0.1",
                  out_port: int = 10010, chunk: int = 1 << 17,
                  exec_cfg=None, phy_cfg: PhyConfig = PhyConfig(),
-                 algo=None):
+                 algo=None, probes: bool = True):
         from gnuradio_wifi_imagetransfer_tpu.config import ExecutorConfig
         from gnuradio_wifi_imagetransfer_tpu.parallel.executor import (
             AdaptiveStreamExecutor,
         )
         from gnuradio_wifi_imagetransfer_tpu.phy import params as phyparams
         from gnuradio_wifi_imagetransfer_tpu.phy import sync as syncmod
+        from gnuradio_wifi_imagetransfer_tpu.utils import tracing
 
         self.samp_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         self.samp_sock.bind(("0.0.0.0", samp_port))
@@ -373,8 +374,15 @@ class RxRadio:
         if exec_cfg is None:
             exec_cfg = ExecutorConfig(block_size=1 << 15, time_shards=4,
                                       max_frames_per_block=16)
+        # headless GUI-sink analogues (IRS_AP's constellation / freq sinks
+        # + probe_mpsk_snr_est_c): equalized symbols, PSD, running SNR
+        self.probes = probes
+        self.constellation = tracing.ConstellationProbe()
+        self.spectrum = tracing.SpectrumProbe()
+        self.snr_probe = tracing.SnrProbe(alpha=0.05)
         self.ex = AdaptiveStreamExecutor(mesh=None, exec_cfg=exec_cfg,
-                                         phy_cfg=phy_cfg, algo=algo)
+                                         phy_cfg=phy_cfg, algo=algo,
+                                         capture_symbols=probes)
         # overlap tail: the worst-case frame span at the slowest rate
         self.tail = syncmod.window_len(
             phyparams.n_symbols(0, phy_cfg.max_psdu_bytes))
@@ -425,9 +433,14 @@ class RxRadio:
                 last_rx = time.monotonic()
 
     def _process(self, buf: np.ndarray, base: int, seen: set[int]):
+        if self.probes:
+            self.spectrum.update(buf[: 1 << 14])
         for rec in self.ex.run(buf):
             if not rec.parity_ok:
                 continue
+            if self.probes and rec.eq_symbols is not None:
+                self.constellation.push(rec.eq_symbols)
+                self.snr_probe.update(rec.eq_symbols)
             gidx = base + rec.global_start
             if gidx in seen or any(abs(gidx - s) <= 2 for s in seen):
                 continue

@@ -12,6 +12,10 @@ provides:
     SnrProbe      EWMA second/fourth-moment SNR estimator matching the
                   probe's alpha=0.05 update on equalized symbols;
     evm_snr_db    batched on-device EVM->SNR metric for equalized frames;
+    ConstellationProbe  ring buffer of recent equalized symbols (the
+                  frame_equalizer "symbols" port -> const_sink_c analogue);
+    SpectrumProbe Welch-averaged PSD of recent samples (freq/waterfall
+                  sink analogue);
     profile()     context manager around jax.profiler.trace for TensorBoard
                   traces of the streaming hot path.
 
@@ -155,6 +159,82 @@ class SnrProbe:
         s = np.sqrt(max(2 * self.m2**2 - self.m4, 1e-20))
         n = max(self.m2 - s, 1e-20)
         return float(10.0 * np.log10(s / n))
+
+
+class ConstellationProbe:
+    """Ring buffer of recent equalized data-carrier symbols.
+
+    The analogue of the reference's constellation display chain:
+    frame_equalizer's "symbols" message port -> pdu_to_tagged_stream ->
+    qtgui.const_sink_c (IRS_AP.py:267,293,312-313). Headless here: the
+    probe keeps the latest points for rendering/inspection (the split
+    RxRadio feeds it per decoded frame) and exposes them as (N, 2)
+    re/im float32."""
+
+    def __init__(self, capacity: int = 4096):
+        self.capacity = int(capacity)
+        self._buf = np.zeros(self.capacity, np.complex64)
+        self._n = 0          # total symbols ever pushed
+        self._lock = threading.Lock()
+
+    def push(self, symbols: np.ndarray) -> None:
+        s = np.asarray(symbols).ravel().astype(np.complex64)
+        if s.size >= self.capacity:
+            s = s[-self.capacity:]
+        with self._lock:
+            pos = self._n % self.capacity
+            first = min(self.capacity - pos, s.size)
+            self._buf[pos : pos + first] = s[:first]
+            if first < s.size:
+                self._buf[: s.size - first] = s[first:]
+            self._n += s.size
+
+    def points(self, n: int | None = None) -> np.ndarray:
+        """Most recent min(n, stored) symbols as (N, 2) float32 re/im."""
+        with self._lock:
+            stored = min(self._n, self.capacity)
+            pos = self._n % self.capacity
+            ring = np.concatenate([self._buf[pos:], self._buf[:pos]])[-stored:]
+        if n is not None:
+            ring = ring[-n:]
+        return np.stack([ring.real, ring.imag], axis=-1).astype(np.float32)
+
+
+class SpectrumProbe:
+    """Welch-style averaged power spectrum of recent samples — the
+    headless analogue of the reference's qtgui.freq_sink_c / waterfall
+    displays (IRS_user.py:174-191). EWMA-averaged periodograms over
+    ``nfft``-sample segments, Hann-windowed, fftshifted so bin 0 is
+    -fs/2."""
+
+    def __init__(self, nfft: int = 512, alpha: float = 0.2):
+        self.nfft = int(nfft)
+        self.alpha = float(alpha)
+        self._window = np.hanning(self.nfft).astype(np.float32)
+        self._psd: np.ndarray | None = None
+        self._lock = threading.Lock()
+
+    def update(self, samples: np.ndarray) -> None:
+        x = np.asarray(samples).ravel()
+        n_seg = x.size // self.nfft
+        if n_seg == 0:
+            return
+        segs = x[: n_seg * self.nfft].reshape(n_seg, self.nfft) * self._window
+        p = np.mean(np.abs(np.fft.fftshift(np.fft.fft(segs, axis=-1),
+                                           axes=-1)) ** 2, axis=0)
+        with self._lock:
+            if self._psd is None:
+                self._psd = p
+            else:
+                self._psd = (1 - self.alpha) * self._psd + self.alpha * p
+
+    def psd_db(self) -> np.ndarray:
+        """(nfft,) averaged PSD in dB (NaN-free; -200 dB floor when empty)."""
+        with self._lock:
+            if self._psd is None:
+                return np.full(self.nfft, -200.0, np.float32)
+            return (10.0 * np.log10(np.maximum(self._psd, 1e-20))
+                    ).astype(np.float32)
 
 
 @contextlib.contextmanager

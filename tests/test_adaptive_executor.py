@@ -148,3 +148,30 @@ def test_adaptive_frame_at_stream_end_unpadded():
         records = [r for r in ex.run(x) if r.parity_ok]
         assert len(records) == 1, f"mesh={mesh}: {len(records)} records"
         _check(records, specs)
+
+
+def test_capture_symbols_constellation():
+    """capture_symbols returns per-frame equalized symbols that cluster on
+    the constellation (the frame_equalizer 'symbols' port analogue)."""
+    from gnuradio_wifi_imagetransfer_tpu.phy import params
+
+    rng = np.random.default_rng(3)
+    payload = rng.integers(0, 256, 50, dtype=np.uint8)
+    x = _mixed_stream(1 << 14, [(600, 2, payload)], snr_db=28)
+    ex = AdaptiveStreamExecutor(mesh=None, exec_cfg=ExecutorConfig(
+        block_size=1 << 13, time_shards=2, max_frames_per_block=4),
+        capture_symbols=True)
+    recs = [r for r in ex.run(x[None]) if r.parity_ok]
+    assert len(recs) == 1
+    sym = recs[0].eq_symbols
+    plan = tx.tx_plan(2, 50)
+    assert sym is not None and sym.shape == (plan.n_sym, 48)
+    # QPSK 3/4 = MCS2 -> QPSK points; max distance to nearest point small
+    pts = np.asarray(params.constellation(int(params.MCS_N_BPSC[2])))
+    d = np.min(np.abs(sym[..., None] - pts), axis=-1)
+    assert float(np.percentile(d, 95)) < 0.25
+    # default executor leaves eq_symbols unset
+    ex2 = AdaptiveStreamExecutor(mesh=None, exec_cfg=ExecutorConfig(
+        block_size=1 << 13, time_shards=2, max_frames_per_block=4))
+    recs2 = [r for r in ex2.run(x[None]) if r.parity_ok]
+    assert recs2 and recs2[0].eq_symbols is None

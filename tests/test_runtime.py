@@ -191,6 +191,13 @@ def test_split_radio_topology():
             f"tx {txr.stats}, rx {rxr.stats}")
         assert np.array_equal(canvas, img)
         assert rxr.stats["frames_ok"] >= len(pieces)
+        # GUI-sink analogues populated: constellation points from the
+        # equalized symbols, a live PSD, and a finite M2M4 SNR estimate
+        pts = rxr.constellation.points(100)
+        assert pts.shape[0] == 100
+        assert float(np.max(np.abs(pts))) > 0.3        # near unit circle
+        assert float(np.max(rxr.spectrum.psd_db())) > -150
+        assert np.isfinite(rxr.snr_probe.snr_db())
     finally:
         txr.stop()
         rxr.stop()

@@ -81,3 +81,30 @@ def test_executor_reports_stages_and_snr():
     assert rep["device_step"].samples == n
     assert rep["collect"].frames == 2
     assert rep["device_step"].seconds > 0
+
+
+def test_constellation_probe_ring():
+    from gnuradio_wifi_imagetransfer_tpu.utils.tracing import ConstellationProbe
+
+    p = ConstellationProbe(capacity=8)
+    p.push(np.arange(5) + 1j * np.arange(5))
+    assert p.points().shape == (5, 2)
+    p.push(np.arange(5, 11) + 0j)          # wraps: 11 total, keeps last 8
+    pts = p.points()
+    assert pts.shape == (8, 2)
+    np.testing.assert_allclose(pts[:, 0], np.arange(3, 11))
+    assert p.points(3).shape == (3, 2)
+    np.testing.assert_allclose(p.points(3)[:, 0], np.arange(8, 11))
+
+
+def test_spectrum_probe_tone_peak():
+    from gnuradio_wifi_imagetransfer_tpu.utils.tracing import SpectrumProbe
+
+    p = SpectrumProbe(nfft=256, alpha=1.0)
+    assert np.all(p.psd_db() <= -199)      # empty floor
+    n = np.arange(4096)
+    tone = np.exp(2j * np.pi * 0.125 * n).astype(np.complex64)  # +fs/8
+    p.update(tone)
+    psd = p.psd_db()
+    # fftshifted: +fs/8 lands at bin nfft/2 + nfft/8
+    assert int(np.argmax(psd)) == 256 // 2 + 256 // 8
