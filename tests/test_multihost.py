@@ -15,6 +15,7 @@ and process 0 asserts the globally-gathered decode results.
 """
 
 import os
+import pathlib
 import subprocess
 import sys
 
@@ -100,6 +101,10 @@ def test_two_process_dcn_decode(tmp_path):
     script.write_text(_WORKER)
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
+    # the worker script lives in tmp_path, so the repo root is neither the
+    # script dir nor guaranteed installed — put it on PYTHONPATH explicitly
+    repo_root = str(pathlib.Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen([sys.executable, str(script), str(pid), port],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
