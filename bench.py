@@ -60,9 +60,9 @@ TIME_BLOCKS = 16
 MAX_FRAMES = 4
 TARGET_PER_CHIP_MSPS = 62.5
 FRAMES_PER_BLOCK = 3       # embedded frames per time-block per channel
-DENSE_BLOCKS = 8           # per-MCS dense stream: 8 * 256k samples
+DENSE_BLOCKS = 4           # per-MCS dense stream: 4 * 256k samples
 DENSE_MAX_FRAMES = 32
-STREAM_CACHE = "/tmp/gwt_bench_streams_v3.npz"
+STREAM_CACHE = "/tmp/gwt_bench_streams_v4.npz"
 
 _GEN_SNIPPET = r"""
 import os
@@ -197,9 +197,16 @@ def _probe_backend(timeout_s: float = 180.0) -> str:
     return "cpu"
 
 
+def _progress(msg: str):
+    sys.stderr.write(f"bench[{time.strftime('%H:%M:%S')}] {msg}\n")
+    sys.stderr.flush()
+
+
 def main():
     backend = _probe_backend()
+    _progress("backend probed")
     data = build_streams()
+    _progress("streams ready")
     stream = data["primary"]
     payloads = data["primary_payloads"]
 
@@ -218,17 +225,19 @@ def main():
 
     # --- 1. device step (PRIMARY) + channel sweep ---
     # n_iters bounded by staging cost: each iteration needs its own
-    # byte-distinct pre-staged buffer (~134 MB over the tunnel)
-    device_msps, _ = bench_device_step(ex, stream, n_iters=6)
+    # byte-distinct pre-staged buffer (~134 MB over the ~16 MB/s tunnel)
+    device_msps, _ = bench_device_step(ex, stream, n_iters=4)
+    _progress(f"device step {device_msps:.0f} Msps")
     sweep = {}
-    for c in (1, 2, CHANNELS):
-        msps, _ = bench_device_step(ex, stream, n_iters=3, channels=c)
+    for c in (1, CHANNELS):
+        msps, _ = bench_device_step(ex, stream, n_iters=2, channels=c)
         sweep[f"channels={c}"] = round(msps, 2)
+    _progress(f"sweep {sweep}")
 
     # --- 2. end-to-end pipeline: run() incl. ingest + collect ---
     # wire format = sc16 (UHD's native int16 I/Q): the primary number
     # reflects what an SDR front-end actually ships to the device
-    def time_pipeline(executor, n_iters=3):
+    def time_pipeline(executor, n_iters=2):
         recs = executor.run(stream)        # warmup (compile already done)
         variants = [_perturb(stream, i + 1) for i in range(n_iters)]
         t0 = time.perf_counter()
@@ -243,9 +252,11 @@ def main():
     assert got >= want, (
         f"pipeline sanity: only {len(got & want)}/{n_embedded} embedded "
         f"frames recovered bit-exact")
+    _progress(f"pipeline sc16 {pipeline_msps:.2f} Msps")
     ex_f32 = StreamExecutor(plan, mesh=None, exec_cfg=dataclasses_replace(
         cfg, wire_format="f32"))
-    pipeline_f32_msps, _ = time_pipeline(ex_f32, n_iters=3)
+    pipeline_f32_msps, _ = time_pipeline(ex_f32, n_iters=1)
+    _progress(f"pipeline f32 {pipeline_f32_msps:.2f} Msps")
 
     # --- 3. frames/s per MCS through the SIGNAL-steered executor ---
     fps = {}
@@ -266,6 +277,7 @@ def main():
         assert got >= want, (
             f"MCS{mcs} sanity: {len(got & want)}/{len(want)} frames recovered")
         fps[f"mcs{mcs}"] = round(len(frames) / dt, 1)
+        _progress(f"adaptive mcs{mcs} {fps[f'mcs{mcs}']} f/s")
 
     print(json.dumps({
         "metric": "rx_chain_throughput_per_chip",
