@@ -1,57 +1,78 @@
-"""Benchmark: streaming 802.11a RX on one TPU chip — honest and broad.
+"""Benchmark: streaming 802.11a RX on one TPU chip — deadline-proof.
 
-Three measurements (VERDICT r1 item 4 / BASELINE north-star metrics):
+Measurements (BASELINE north-star metrics):
 
   1. ``device_step`` — the PRIMARY metric: the jitted RX chain
      (sync statistics, detection, CFO, OFDM demod, equalize, Viterbi)
      in Msamples/s/chip — BASELINE's "Msamples/s/chip through the RX
      chain" — measured as the MARGINAL rate of a k-iteration on-device
      scan so relay dispatch overhead and memoization cancel out (see
-     bench_device_step).
-  2. ``pipeline``   — StreamExecutor.run() end-to-end (host layout +
-     device_put + jitted step + collect). NOTE: on this rig the chip
-     sits behind a network tunnel, so ingest/fetch pay a per-transfer
-     round trip a host-attached TPU (PCIe DMA) does not; the pipeline
-     number here measures the tunnel, and is reported as detail.
-  3. ``frames_per_s`` per MCS 0..7 — dense frame streams decoded through
-     the SIGNAL-steered AdaptiveStreamExecutor (runtime rate detection +
+     bench_device_step). Measured on the sc16 int16-I/Q wire path, the
+     same program the streaming executor dispatches.
+  2. ``frames_per_s`` per MCS — dense frame streams decoded through the
+     SIGNAL-steered AdaptiveStreamExecutor (runtime rate detection +
      per-(rate,length) payload decode), BASELINE's "frames/s decoded
      across BPSK-1/2..64QAM-3/4".
+  3. ``pipeline``   — StreamExecutor.run() end-to-end (host layout +
+     device_put + jitted step + collect). On this rig the chip sits
+     behind a network tunnel, so ingest/fetch pay a per-transfer round
+     trip a host-attached TPU (PCIe DMA) does not; reported as detail.
+  4. channel-count sweep of the device step.
 
-Plus a channel-count sweep of the device step (scaling protocol ready for
-multi-chip runs). Sanity: every embedded frame must be recovered
-bit-exact — a run that drops frames fails loudly.
+DEADLINE DESIGN (VERDICT r2 item 1): round 2 forfeited its benchmark
+artifact because a single in-process script printed its one JSON line
+only after every phase finished, and the first device dispatch wedged
+inside the driver's budget (BENCH_r02: rc 124, parsed null). This
+version splits into an ORCHESTRATOR (this process; never imports jax)
+and a WORKER subprocess (``bench.py --worker``) that emits one
+"@PHASE {json}" line per completed measurement. The orchestrator
+re-prints a cumulative result line after EVERY phase — the driver
+parses the last valid JSON line, so a partial run still lands a real
+number — and enforces:
 
-MEASUREMENT GOTCHAS (verified 2026-08-20): the relay backend (a) memoizes
-byte-identical dispatches — re-running the same program on the same bytes
-returns in ~0.1 ms, (b) has tens-of-ms per-dispatch overhead, and (c)
-block_until_ready does not reliably synchronize — only fetching a result
-does. Naive timing loops therefore read anywhere from overhead-bound to
-~1000x too high. The device-step uses a k-iteration on-device scan with
-per-iteration input scaling and fetch-forced sync; the host-coupled
-pipeline/adaptive timings perturb one input sample per run (_perturb) so
-no run is memoized.
+  * a global wall-clock budget (env GWT_BENCH_BUDGET_S, default 480 s);
+  * a first-result watchdog: if the accelerator worker produces no
+    primary number in time, it is killed and an honest CPU-backend
+    fallback (small shapes, clearly marked) is measured instead;
+  * per-phase budget gates inside the worker (phases that don't fit
+    are skipped and listed in detail.skipped).
 
-Baseline anchor: BASELINE.json's north-star of >= 1 Gsample/s aggregate on
-a v5e-16 slice == 62.5 Msamples/s/chip; vs_baseline is the device-step
-number against that per-chip target. (The GNU Radio reference runs its RX
-at its radio's sample rate — 1-20 MS/s per process, IRS_AP.py:88-91.)
+MEASUREMENT GOTCHAS (verified 2026-08-20): the relay backend (a)
+memoizes byte-identical dispatches — re-running the same program on the
+same bytes returns in ~0.1 ms, (b) has tens-of-ms per-dispatch
+overhead, and (c) block_until_ready does not reliably synchronize —
+only fetching a result does. Naive timing loops therefore read anywhere
+from overhead-bound to ~1000x too high. The device-step uses a
+k-iteration on-device scan with per-iteration input XOR-perturbation
+and fetch-forced sync; host-coupled pipeline/adaptive timings add
+fresh low-amplitude noise to the WHOLE stream per run (> 1 sc16 LSB
+everywhere) so no dispatch — including stage-B bucket decodes built
+from host-extracted windows — is served from the memo cache.
 
-The TX streams are synthesized by a CPU-backend subprocess: the tunneled
-axon compile service wedges when the TX graph compiles before the big RX
-step in the same process, and the bench must only measure RX anyway.
+Baseline anchor: BASELINE.json's north-star of >= 1 Gsample/s aggregate
+on a v5e-16 slice == 62.5 Msamples/s/chip; vs_baseline is the
+device-step number against that per-chip target. (The GNU Radio
+reference runs its RX at its radio's sample rate — 1-20 MS/s per
+process, IRS_AP.py:88-91.)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
+The TX streams are synthesized by a CPU-backend subprocess: the
+tunneled axon compile service wedges when the TX graph compiles before
+the big RX step in the same process, and the bench must only measure RX
+anyway.
+
+Prints cumulative JSON lines; the LAST line is the result:
+{"metric", "value", "unit", "vs_baseline", "detail"}.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import queue
 import subprocess
 import sys
+import threading
 import time
-from dataclasses import replace as dataclasses_replace
 
 import numpy as np
 
@@ -69,6 +90,9 @@ FRAMES_PER_BLOCK = 3       # embedded frames per time-block per channel
 DENSE_BLOCKS = 4           # per-MCS dense stream: 4 * 256k samples
 DENSE_MAX_FRAMES = 32
 STREAM_CACHE = "/tmp/gwt_bench_streams_v4.npz"
+# adaptive MCS measured in this order; later entries dropped if the
+# budget runs out (first three cover the bottom/middle/top of the ladder)
+ADAPTIVE_ORDER = (2, 7, 0, 1, 3, 4, 5, 6)
 
 _GEN_SNIPPET = r"""
 import os
@@ -123,7 +147,12 @@ print("streams written")
 """
 
 
-def build_streams() -> dict:
+def _progress(msg: str):
+    sys.stderr.write(f"bench[{time.strftime('%H:%M:%S')}] {msg}\n")
+    sys.stderr.flush()
+
+
+def build_streams(timeout_s: float) -> None:
     if not os.path.exists(STREAM_CACHE):
         snippet = _GEN_SNIPPET.format(
             params=(MCS, PSDU_LEN, BLOCK, CHANNELS, TIME_BLOCKS,
@@ -131,19 +160,34 @@ def build_streams() -> dict:
             path=STREAM_CACHE,
         )
         subprocess.run([sys.executable, "-c", snippet], check=True,
-                       capture_output=True, timeout=1200)
-    return dict(np.load(STREAM_CACHE))
+                       capture_output=True, timeout=timeout_s)
 
 
-def _perturb(stream: np.ndarray, i: int) -> np.ndarray:
-    """Flip one noise-floor sample so dispatch i is byte-distinct from
-    dispatch i-1 — defeats the tunnel's identical-dispatch memoization
-    without affecting decodability (one sample of extra noise)."""
-    if i == 0:
-        return stream
-    v = stream.copy()
-    v.flat[7] += 0.001 * i
-    return v
+# ======================================================================
+# worker side (runs in a subprocess; may wedge — the orchestrator kills)
+# ======================================================================
+
+def _emit(name: str, payload: dict) -> None:
+    """One completed measurement -> one machine-readable stdout line."""
+    sys.stdout.write("@PHASE " + json.dumps({"name": name, **payload}) + "\n")
+    sys.stdout.flush()
+
+
+def _fresh(stream: np.ndarray, seed: int) -> np.ndarray:
+    """A byte-distinct copy of the stream for one timed dispatch chain.
+
+    Adds fresh complex noise at amplitude 2e-3 — ~16 sc16 LSBs, so even
+    after host-side quantize_sc16 every dispatched buffer (including
+    stage-B windows cut from this stream) differs from the warmup run's
+    bytes and cannot be served from the relay's memo cache; 2e-3 is 48 dB
+    below the 0.5 burst amplitude and 14 dB below the synthesized noise
+    floor, so decodability is unaffected. (A single-sample flip — the
+    round-2 approach — left stage-B bucket dispatches byte-identical and
+    memoized: ADVICE r2.)"""
+    rng = np.random.default_rng(7000 + seed)
+    noise = (rng.standard_normal(stream.shape)
+             + 1j * rng.standard_normal(stream.shape))
+    return (stream + 2e-3 * noise).astype(np.complex64)
 
 
 def bench_device_step(ex, stream, k_hi=8, channels=None):
@@ -154,92 +198,98 @@ def bench_device_step(ex, stream, k_hi=8, channels=None):
     distinct-buffer dispatch loops measure the chip (verified 2026-08-20:
     repeats read ~1000x high, per-dispatch loops read overhead, not
     compute). Instead ONE dispatch runs the full RX step k times inside
-    a lax.scan, each iteration on a differently-scaled copy of the input
+    a lax.scan, each iteration on an XOR-perturbed copy of the input
     (so no iteration can be folded or cached), and every iteration's
     output is sum-reduced into the fetched result (so none can be dead-
     code-eliminated). The marginal rate (t(k_hi) - t(1)) / (k_hi - 1)
     cancels the dispatch/fetch overhead. Timing is synchronized by
-    FETCHING the (tiny) result — block_until_ready under-reports here."""
+    FETCHING the (tiny) result — block_until_ready under-reports here.
+
+    The blocks go through the executor's real wire path (to_riq +
+    quantize_sc16 for sc16 configs), so the measured program is the one
+    StreamExecutor.run() dispatches (ADVICE r2: the round-2 bench timed
+    the f32-ingest specialization while running an sc16 executor).
+    """
     import jax
     import jax.numpy as jnp
-    from gnuradio_wifi_imagetransfer_tpu.utils.xfer import to_riq
+    from gnuradio_wifi_imagetransfer_tpu.utils.xfer import quantize_sc16, to_riq
 
     if channels is not None:
         stream = stream[:channels]
-    blocks = jnp.asarray(to_riq(ex._layout(stream, 0)))
+    blocks_np = to_riq(ex._layout(stream, 0))
+    if ex.cfg.wire_format == "sc16":
+        blocks_np = quantize_sc16(blocks_np)
 
     def make(k):
         @jax.jit
         def fn(b):
             def body(carry, i):
-                out = ex._step(b * (1.0 + 1e-5 * i))
+                # XOR of the iteration index into the wire words: byte-
+                # distinct per iteration, dtype-preserving (the sc16
+                # program stays the sc16 program), no overflow wrap
+                out = ex._step(b ^ i)
                 return carry, jnp.sum(out)
             _, sums = jax.lax.scan(
-                body, 0.0, jnp.arange(1, k + 1, dtype=jnp.float32))
+                body, 0.0, jnp.arange(1, k + 1, dtype=b.dtype))
             return sums
         return fn
 
     def timed(fn):
-        _ = np.asarray(fn(blocks))         # compile + warmup (memoized after)
+        base = jnp.asarray(blocks_np)
+        _ = np.asarray(fn(base))           # compile + warmup (memoized after)
         best = float("inf")
         for r in range(2):                 # two timed reps, keep the best
-            bp = blocks * (1.0 + 1e-6 * (r + 1))   # new bytes -> no memo
+            bp = jnp.asarray(blocks_np ^ np.asarray(r + 1, blocks_np.dtype))
             jax.block_until_ready(bp)
             t0 = time.perf_counter()
             _ = np.asarray(fn(bp))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = timed(make(1)), timed(make(k_hi))
-    marginal = max((t_hi - t_lo) / (k_hi - 1), 1e-9)
-    samples = stream.shape[0] * TIME_BLOCKS * BLOCK
-    return samples / marginal / 1e6, (t_lo, t_hi)
+    # require a comfortably positive marginal; tunnel jitter (tens of ms
+    # per dispatch, 2 reps) can otherwise make t_hi <= t_lo — never
+    # clamp-and-report an absurd rate (ADVICE r2), re-measure deeper
+    while True:
+        t_lo, t_hi = timed(make(1)), timed(make(k_hi))
+        if t_hi > 1.2 * t_lo:
+            break
+        if k_hi >= 64:
+            raise RuntimeError(
+                f"device-step marginal not measurable: t1={t_lo:.4f}s "
+                f"t{k_hi}={t_hi:.4f}s (dispatch jitter dominates)")
+        k_hi *= 2
+    marginal = (t_hi - t_lo) / (k_hi - 1)
+    samples = blocks_np.shape[0] * blocks_np.shape[1] * ex.block
+    return samples / marginal / 1e6, (t_lo, t_hi, k_hi)
 
 
-def _probe_backend(timeout_s: float = 180.0) -> str:
-    """Return the usable backend name, flipping this process to the CPU
-    backend if the (tunneled) accelerator does not answer a trivial op in
-    time — a dead tunnel must yield an honest CPU number, not a hung
-    bench. The probe runs in a SUBPROCESS: a wedged PJRT call can hang
-    while holding the GIL, which would deadlock any in-process timeout."""
-    code = ("import jax, jax.numpy as jnp;"
-            "jax.jit(lambda x: x * 2)(jnp.ones(2)).block_until_ready();"
-            "print('BACKEND', jax.default_backend())")
-    err = "probe failed"
-    try:
-        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                           text=True, timeout=timeout_s)
-        for line in r.stdout.splitlines():
-            if line.startswith("BACKEND "):
-                return line.split()[1]
-        err = (r.stderr or r.stdout)[-300:]
-    except subprocess.TimeoutExpired:
-        err = f"no response in {timeout_s:.0f}s (tunnel wedged)"
-    sys.stderr.write(f"bench: accelerator probe failed ({err}); "
-                     "falling back to the CPU backend\n")
-    # no jax op has run in THIS process yet, so the lazy backend can still
-    # be redirected (same trick as tests/conftest.py)
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["GWT_BENCH_CPU_FALLBACK"] = "1"
+def _worker_main(argv: list[str]) -> None:
+    cpu = "--cpu" in argv
+    tiny = "--tiny" in argv
+    deadline = time.time() + 86400.0
+    phases = None                       # None = all
+    for a in argv:
+        if a.startswith("--deadline="):
+            deadline = float(a.split("=", 1)[1])
+        elif a.startswith("--phases="):
+            phases = set(a.split("=", 1)[1].split(","))
+
+    def wanted(name: str) -> bool:
+        return phases is None or name in phases
+
+    if cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    return "cpu"
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+    # force backend init now so a dead tunnel fails here, not mid-phase
+    jax.jit(lambda x: x * 2)(np.ones(2)).block_until_ready()
+    backend = jax.default_backend()
+    _emit("backend", {"backend": backend})
+    _progress(f"worker: backend {backend}")
 
-
-def _progress(msg: str):
-    sys.stderr.write(f"bench[{time.strftime('%H:%M:%S')}] {msg}\n")
-    sys.stderr.flush()
-
-
-def main():
-    backend = _probe_backend()
-    _progress("backend probed")
-    data = build_streams()
-    _progress("streams ready")
-    stream = data["primary"]
-    payloads = data["primary_payloads"]
-
+    data = dict(np.load(STREAM_CACHE))
     from gnuradio_wifi_imagetransfer_tpu.config import ExecutorConfig
     from gnuradio_wifi_imagetransfer_tpu.parallel.executor import (
         AdaptiveStreamExecutor,
@@ -248,93 +298,244 @@ def main():
     from gnuradio_wifi_imagetransfer_tpu.phy import tx
 
     plan = tx.tx_plan(MCS, PSDU_LEN)
-    cfg = ExecutorConfig(block_size=BLOCK, time_shards=TIME_BLOCKS,
-                         channels=CHANNELS, max_frames_per_block=MAX_FRAMES,
+    if tiny:
+        # honest small-shape fallback: 1 channel x 4 x 64k samples
+        block, t_blocks, channels = 1 << 16, 4, 1
+    else:
+        block, t_blocks, channels = BLOCK, TIME_BLOCKS, CHANNELS
+    stream = data["primary"][:channels, : t_blocks * block]
+    payloads = data["primary_payloads"]
+    cfg = ExecutorConfig(block_size=block, time_shards=t_blocks,
+                         channels=channels, max_frames_per_block=MAX_FRAMES,
                          wire_format="sc16")
     ex = StreamExecutor(plan, mesh=None, exec_cfg=cfg)
 
-    # --- 1. device step (PRIMARY) + channel sweep ---
-    device_msps, (t_lo, t_hi) = bench_device_step(ex, stream)
-    _progress(f"device step {device_msps:.0f} Msps "
-              f"(t1={t_lo*1e3:.0f}ms t8={t_hi*1e3:.0f}ms)")
-    sweep = {}
-    for c in (1, CHANNELS):
-        msps, _ = bench_device_step(ex, stream, k_hi=4, channels=c)
-        sweep[f"channels={c}"] = round(msps, 2)
-    _progress(f"sweep {sweep}")
+    def fits(est_s: float) -> bool:
+        return time.time() + est_s < deadline
+
+    # --- 1. device step (PRIMARY) ---
+    if wanted("device"):
+        device_msps, (t_lo, t_hi, k_used) = bench_device_step(ex, stream)
+        _emit("device_step", {
+            "msps": round(device_msps, 2),
+            "t_lo_s": round(t_lo, 4), "t_hi_s": round(t_hi, 4), "k": k_used,
+            "shape": f"{channels}x{t_blocks}x{block}", "tiny": tiny,
+        })
+        _progress(f"worker: device step {device_msps:.0f} Msps "
+                  f"(t1={t_lo*1e3:.0f}ms tk={t_hi*1e3:.0f}ms k={k_used})")
+    if tiny:
+        return                              # fallback mode measures only this
 
     # --- 2. end-to-end pipeline: run() incl. ingest + collect ---
-    # wire format = sc16 (UHD's native int16 I/Q): the primary number
-    # reflects what an SDR front-end actually ships to the device
-    def time_pipeline(executor, n_iters=2):
-        recs = executor.run(stream)        # warmup (compile already done)
-        variants = [_perturb(stream, i + 1) for i in range(n_iters)]
+    if wanted("pipeline") and fits(90.0):
+        recs = ex.run(stream)               # warmup (step already compiled)
+        variant = _fresh(stream, 1)
         t0 = time.perf_counter()
-        for v in variants:
-            recs = executor.run(v)
-        return stream.size * n_iters / (time.perf_counter() - t0) / 1e6, recs
-
-    want = {tuple(f) for ch in payloads for f in ch}
-    pipeline_msps, records = time_pipeline(ex)
-    got = {tuple(r.psdu) for r in records if r.parity_ok}
-    n_embedded = CHANNELS * TIME_BLOCKS * FRAMES_PER_BLOCK
-    assert got >= want, (
-        f"pipeline sanity: only {len(got & want)}/{n_embedded} embedded "
-        f"frames recovered bit-exact")
-    _progress(f"pipeline sc16 {pipeline_msps:.2f} Msps")
-    ex_f32 = StreamExecutor(plan, mesh=None, exec_cfg=dataclasses_replace(
-        cfg, wire_format="f32"))
-    pipeline_f32_msps, _ = time_pipeline(ex_f32, n_iters=1)
-    _progress(f"pipeline f32 {pipeline_f32_msps:.2f} Msps")
+        recs = ex.run(variant)
+        dt = time.perf_counter() - t0
+        got = {tuple(r.psdu) for r in recs if r.parity_ok}
+        want = {tuple(f) for ch in payloads for f in ch}
+        n_embedded = CHANNELS * TIME_BLOCKS * FRAMES_PER_BLOCK
+        assert got >= want, (
+            f"pipeline sanity: only {len(got & want)}/{n_embedded} embedded "
+            f"frames recovered bit-exact")
+        _emit("pipeline", {"msps": round(stream.size / dt / 1e6, 2)})
+        _progress(f"worker: pipeline sc16 {stream.size / dt / 1e6:.2f} Msps")
 
     # --- 3. frames/s per MCS through the SIGNAL-steered executor ---
-    fps = {}
     acfg = ExecutorConfig(block_size=BLOCK, time_shards=DENSE_BLOCKS,
                           max_frames_per_block=DENSE_MAX_FRAMES,
                           wire_format="sc16")
     aex = AdaptiveStreamExecutor(mesh=None, exec_cfg=acfg)
-    for mcs in range(8):
+    first_adaptive = True
+    for mcs in ADAPTIVE_ORDER:
+        if not wanted(f"adaptive:{mcs}"):
+            continue
+        # first MCS pays the stage-A compile (~40 s); later ones only a
+        # stage-B compile
+        if not fits(120.0 if first_adaptive else 60.0):
+            break
+        first_adaptive = False
         x = data[f"dense{mcs}"][None]
         frames = data[f"dense{mcs}_payloads"]
-        aex.run(x)                         # warmup/compile for this plan
-        x_timed = _perturb(x, 1)           # byte-distinct: defeat memoization
-        t0 = time.perf_counter()
-        recs = aex.run(x_timed)
+        aex.run(x)                          # warmup/compile for this plan
+        x_timed = _fresh(x, 10 + mcs)       # whole-stream fresh noise: every
+        t0 = time.perf_counter()            # stage-A AND stage-B dispatch is
+        recs = aex.run(x_timed)             # byte-distinct (ADVICE r2)
         dt = time.perf_counter() - t0
         got = {tuple(r.psdu) for r in recs if r.parity_ok and r.rate_idx == mcs}
         want = {tuple(f) for f in frames}
         assert got >= want, (
             f"MCS{mcs} sanity: {len(got & want)}/{len(want)} frames recovered")
-        fps[f"mcs{mcs}"] = round(len(frames) / dt, 1)
-        _progress(f"adaptive mcs{mcs} {fps[f'mcs{mcs}']} f/s")
+        _emit("adaptive", {"mcs": mcs, "fps": round(len(frames) / dt, 1)})
+        _progress(f"worker: adaptive mcs{mcs} {len(frames) / dt:.1f} f/s")
 
-    print(json.dumps({
-        "metric": "rx_chain_throughput_per_chip",
-        "value": round(device_msps, 2),
-        "unit": "Msamples/s",
-        "vs_baseline": round(device_msps / TARGET_PER_CHIP_MSPS, 4),
-        "detail": {
-            "backend": backend + (
-                " (CPU FALLBACK: accelerator tunnel unresponsive)"
-                if os.environ.get("GWT_BENCH_CPU_FALLBACK") else ""),
-            "device_step_sweep": sweep,
-            "pipeline_sc16_msps": round(pipeline_msps, 2),
-            "pipeline_f32_msps": round(pipeline_f32_msps, 2),
-            "adaptive_frames_per_s": fps,
-            "note": "value = marginal on-chip rate of the jitted RX chain "
-                    "(k-step scan, fetch-synced; defeats the relay's "
+    # --- 4. channel sweep of the device step ---
+    if wanted("sweep") and fits(90.0):
+        msps1, _ = bench_device_step(ex, stream, k_hi=8, channels=1)
+        _emit("sweep", {"channels": 1, "msps": round(msps1, 2)})
+        _progress(f"worker: sweep channels=1 {msps1:.0f} Msps")
+
+
+# ======================================================================
+# orchestrator side (never imports jax; owns the budget)
+# ======================================================================
+
+class _Result:
+    """Cumulative result state; re-printed after every completed phase so
+    a killed run still leaves the last valid JSON line for the driver."""
+
+    def __init__(self):
+        self.backend = None
+        self.device = None          # primary phase payload
+        self.pipeline_msps = None
+        self.fps: dict[str, float] = {}
+        self.sweep: dict[str, float] = {}
+        self.notes: list[str] = []
+
+    def absorb(self, p: dict) -> str | None:
+        """Record one phase payload; returns the completed phase id."""
+        name = p.pop("name")
+        if name == "backend":
+            self.backend = p["backend"]
+            return None
+        if name == "device_step":
+            self.device = p
+            if self.device.get("tiny"):
+                self.notes.append(
+                    "CPU FALLBACK at reduced shapes: accelerator worker "
+                    "produced no result in time")
+            return "device"
+        if name == "pipeline":
+            self.pipeline_msps = p["msps"]
+            return "pipeline"
+        if name == "adaptive":
+            self.fps[f"mcs{p['mcs']}"] = p["fps"]
+            return f"adaptive:{p['mcs']}"
+        if name == "sweep":
+            self.sweep[f"channels={p['channels']}"] = p["msps"]
+            return "sweep"
+        return None
+
+    def print_line(self) -> None:
+        value = self.device["msps"] if self.device else 0.0
+        detail = {
+            "backend": self.backend or "none",
+            "device_step": self.device,
+            "pipeline_sc16_msps": self.pipeline_msps,
+            "adaptive_frames_per_s": self.fps,
+            "device_step_sweep": self.sweep,
+            "notes": self.notes,
+            "note": "value = marginal on-chip rate of the jitted sc16 RX "
+                    "chain (k-step scan, fetch-synced; defeats the relay's "
                     "dispatch memoization and cancels its per-dispatch "
-                    "overhead). "
-                    "pipeline = StreamExecutor.run() end-to-end (ingest + "
-                    "step + collect) with sc16 int16-I/Q wire format; on "
-                    "this rig it is bound by the network tunnel's "
-                    "per-transfer round trips, which a host-attached TPU's "
-                    "PCIe DMA does not pay. All embedded frames verified "
-                    "bit-exact; frames/s = dense 50B-PSDU streams through "
-                    "the SIGNAL-steered AdaptiveStreamExecutor",
-        },
-    }))
+                    "overhead). pipeline = StreamExecutor.run() end-to-end "
+                    "(ingest + step + collect), bound on this rig by the "
+                    "network tunnel's per-transfer round trips, which a "
+                    "host-attached TPU's PCIe DMA does not pay. All embedded "
+                    "frames verified bit-exact; frames/s = dense 50B-PSDU "
+                    "streams through the SIGNAL-steered "
+                    "AdaptiveStreamExecutor.",
+        }
+        print(json.dumps({
+            "metric": "rx_chain_throughput_per_chip",
+            "value": value,
+            "unit": "Msamples/s",
+            "vs_baseline": round(value / TARGET_PER_CHIP_MSPS, 4),
+            "detail": detail,
+        }))
+        sys.stdout.flush()
+
+
+ALL_PHASES = ("device", "pipeline",
+              *(f"adaptive:{m}" for m in ADAPTIVE_ORDER), "sweep")
+
+
+def _run_worker(args: list[str], phases: tuple[str, ...], res: _Result,
+                deadline: float, stall_s: float) -> set[str]:
+    """Run one worker over `phases` until they finish, the deadline
+    passes, or no phase completes for stall_s (wedged tunnel). Returns
+    the phase ids that completed."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker",
+         f"--deadline={deadline - 5.0:.1f}",
+         "--phases=" + ",".join(phases), *args],
+        stdout=subprocess.PIPE, text=True, cwd=os.path.dirname(
+            os.path.abspath(__file__)))
+    q: queue.Queue = queue.Queue()
+
+    def pump():
+        for line in proc.stdout:
+            q.put(line)
+        q.put(None)
+
+    threading.Thread(target=pump, daemon=True).start()
+    last_progress = time.time()
+    done: set[str] = set()
+    while True:
+        now = time.time()
+        if now >= deadline or now - last_progress >= stall_s:
+            why = ("budget exhausted" if now >= deadline
+                   else f"no phase completed in {stall_s:.0f}s")
+            _progress(f"killing worker ({why})")
+            res.notes.append(f"worker killed: {why}")
+            proc.kill()
+            proc.wait()
+            return done
+        try:
+            line = q.get(timeout=1.0)
+        except queue.Empty:
+            continue
+        if line is None:
+            proc.wait()
+            if proc.returncode != 0:
+                res.notes.append(f"worker exit code {proc.returncode}")
+            return done
+        if line.startswith("@PHASE "):
+            phase = res.absorb(json.loads(line[len("@PHASE "):]))
+            if phase is not None:
+                done.add(phase)
+                last_progress = time.time()
+                res.print_line()
+
+
+def main() -> None:
+    t0 = time.time()
+    budget = float(os.environ.get("GWT_BENCH_BUDGET_S", "480"))
+    deadline = t0 + budget - 10.0            # margin for final prints
+    res = _Result()
+    try:
+        build_streams(timeout_s=max(deadline - time.time() - 120.0, 60.0))
+    except Exception as e:                    # noqa: BLE001 — must still print
+        res.notes.append(f"stream synthesis failed: {e}")
+        res.print_line()
+        return
+    _progress("streams ready")
+
+    # accelerator attempts: a crashed tunnel worker kills one subprocess,
+    # not the round — relaunch with the completed phases skipped (the
+    # crash is usually transient: memory/axon-tunnel-quirks)
+    remaining = list(ALL_PHASES)
+    first_slice = min(max(budget * 0.55, 120.0), deadline - time.time() - 90.0)
+    for attempt in range(3):
+        if not remaining or time.time() >= deadline - 60.0:
+            break
+        # later attempts have compiled-cache-free processes: allow a stage-A
+        # recompile (~2 min) before declaring a stall
+        stall = max(first_slice if attempt == 0 else 180.0, 60.0)
+        done = _run_worker([], tuple(remaining), res, deadline, stall_s=stall)
+        remaining = [p for p in remaining if p not in done]
+        if not done:
+            break                            # no progress at all: stop retrying
+    if res.device is None and time.time() < deadline - 30.0:
+        _progress("falling back to CPU worker at reduced shapes")
+        _run_worker(["--cpu", "--tiny"], ("device",), res, deadline,
+                    stall_s=deadline - time.time() - 5.0)
+    res.print_line()
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        _worker_main(sys.argv)
+    else:
+        main()

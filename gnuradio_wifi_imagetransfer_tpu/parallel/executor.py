@@ -141,9 +141,16 @@ class _StreamExecutorBase:
 
         def shard_fn(x_local_riq):        # (C_local, 1, block, 2)
             x_local = from_wire(x_local_riq[:, 0])   # (C_local, block)
-            # neighbor halo exchange over the time ring (ICI traffic)
-            right_src = [(i, (i - 1) % t) for i in range(t)]   # i sends to i-1
-            left_src = [(i, (i + 1) % t) for i in range(t)]    # i sends to i+1
+            # neighbor halo exchange over an OPEN time chain (ICI traffic):
+            # pairs omitted from the perm deliver ZEROS, so the first shard's
+            # left halo and the last shard's right halo are silence — exactly
+            # correct at the stream start/end (a ring would wrap the far
+            # shard's samples in as garbage context; frames near a hard-
+            # truncated stream end then fail parity and are lost — VERDICT r2
+            # item 5). Interior super-block seams re-scan with true context on
+            # the next overlapped stride; dedup keeps the parity-ok record.
+            right_src = [(i, i - 1) for i in range(1, t)]      # i sends to i-1
+            left_src = [(i, i + 1) for i in range(t - 1)]      # i sends to i+1
             left_halo = jax.lax.ppermute(
                 x_local[:, -HALO_LEFT:], "time", perm=left_src)
             right_halo = jax.lax.ppermute(
@@ -208,16 +215,19 @@ class _StreamExecutorBase:
         consumed, so host work overlaps device compute (JAX dispatch is
         async).
 
-        Mesh mode overlaps super-block strides: the ring ppermute wraps the
-        last shard's right halo within the super-block, so edges near the
-        seam re-scan with true context on the next stride; the caller's
-        dedup keeps one record.
+        Mesh mode overlaps super-block strides by the halo total: edges
+        near a seam (where the open-chain ppermute delivered zero context)
+        re-scan with true context on the next stride; the caller's dedup
+        keeps the good record.
         """
         c, n = stream.shape
         t = self.mesh.shape["time"] if self.mesh is not None else self.cfg.time_shards
         span = t * self.block
         if self.mesh is not None:
-            stride = max(self.block, span - (self.halo_right + HALO_LEFT))
+            # overlap strides by the halo total so every interior seam is
+            # re-scanned with true context; floor of 1 keeps time=1 meshes
+            # (span == block) overlapping rather than skipping straddles
+            stride = max(1, span - (self.halo_right + HALO_LEFT))
         else:
             stride = span  # local layout reads true straddle context
         pending = None
@@ -301,14 +311,37 @@ class StreamExecutor(_StreamExecutorBase):
             c, t, k = valid.shape
             gstart = (offset + np.arange(t)[None, :, None] * self.block
                       + starts.astype(np.int64))               # (C, T, K)
-            hits = np.argwhere((valid != 0) & (gstart < n))    # vectorized mask
+            # a fixed-plan frame is good only if its SIGNAL decodes to the
+            # plan's exact (rate, length): the 1-bit SIGNAL parity alone
+            # passes garbage 50% of the time, which can let an incomplete-
+            # context decode from an overlapped stride shadow the true one
+            good = ((parity != 0) & (rate_idx == self.plan.mcs)
+                    & (length == self.plan.psdu_len))
+            mask = (valid != 0) & (gstart < n)
+            if self.mesh is not None:
+                # Drop decodes whose demod window read an open-chain ZERO
+                # halo where real samples exist: the edge shards of each
+                # super-block see silence instead of neighbouring-stride
+                # context, so their boundary frames demodulate a truncated
+                # burst (SIGNAL can still parse — only the tail corrupts).
+                # The stride overlap guarantees every such frame a fully-
+                # contexted re-scan, so discarding here loses nothing.
+                ti_idx = np.arange(t)[None, :, None]
+                win_end = gstart - sync.MARGIN + self.halo_right
+                owned_end = offset + t * self.block     # last shard's edge
+                untrusted = ((ti_idx == t - 1) & (win_end > owned_end)
+                             & (owned_end < n))
+                untrusted |= ((ti_idx == 0) & (offset > 0)
+                              & (gstart - sync.MARGIN < offset))
+                mask &= ~untrusted
+            hits = np.argwhere(mask)                           # vectorized mask
             for ci, ti, ki in hits:
                 key = (int(ci), int(gstart[ci, ti, ki]))
                 rec = FrameRecord(
                     channel=int(ci),
                     global_start=key[1],
                     psdu=psdu[ci, ti, ki],
-                    parity_ok=bool(parity[ci, ti, ki]),
+                    parity_ok=bool(good[ci, ti, ki]),
                     rate_idx=int(rate_idx[ci, ti, ki]),
                     length=int(length[ci, ti, ki]),
                     cfo=float(cfo[ci, ti, ki]),
@@ -322,13 +355,9 @@ class StreamExecutor(_StreamExecutorBase):
 
     def run(self, stream: np.ndarray) -> list[FrameRecord]:
         """Process a full (channels, n_samples) stream; returns deduped
-        frame records sorted by (channel, global_start).
-
-        NOTE: frames whose edge falls within the last halo_right of the
-        final super-block are decoded with ring-wrapped context in mesh
-        mode; dedup plus per-frame parity/FCS screening keeps results
-        exact, and streams should end with >= halo_right pad samples
-        (pad_burst's 1000-sample tail already satisfies this).
+        frame records sorted by (channel, global_start). Hard-truncated
+        streams (no tail pad) decode their last frame exactly: the final
+        shard's right halo is open-chain zeros, the true post-end content.
         """
         stream = np.atleast_2d(stream)
         n = stream.shape[1]
@@ -492,6 +521,19 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
                 & (length >= 1)
                 & (length <= self.phy.max_psdu_bytes)
             )
+            if self.mesh is not None:
+                # mirror StreamExecutor._collect: a SIGNAL read through an
+                # open-chain zero halo (instead of real neighbour samples)
+                # may parse to a wrong (rate, length) and burn the dedup key
+                # before the overlapped re-scan supplies the true candidate
+                ti_idx = np.arange(t)[None, :, None]
+                win_end = gstart - sync.MARGIN + _SIG_WLEN
+                owned_end = offset + t * self.block
+                untrusted = ((ti_idx == t - 1) & (win_end > owned_end)
+                             & (owned_end < n))
+                untrusted |= ((ti_idx == 0) & (offset > 0)
+                              & (gstart - sync.MARGIN < offset))
+                mask &= ~untrusted
             for ci, ti, ki in np.argwhere(mask):
                 key = (int(ci), int(gstart[ci, ti, ki]))
                 if key in seen:

