@@ -20,7 +20,9 @@ import time
 
 def _parse():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--image", default=None, help="input image (default: generated)")
+    p.add_argument("--image", default=None,
+                   help="input image (default: assets/kodim01.png — the "
+                        "BASELINE config[0] image — else a generated ramp)")
     p.add_argument("--mcs", type=int, default=3, help="802.11a MCS 0..7")
     p.add_argument("--snr", type=float, default=25.0, help="loopback SNR dB")
     p.add_argument("--size", type=int, default=48,
@@ -45,6 +47,10 @@ def main():
     from gnuradio_wifi_imagetransfer_tpu.runtime.bridge import LoopbackRadio
     from gnuradio_wifi_imagetransfer_tpu.utils import metrics
 
+    default_img = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "assets", "kodim01.png")
+    if args.image is None and os.path.exists(default_img):
+        args.image = default_img
     if args.image:
         from PIL import Image
 

@@ -64,6 +64,29 @@ class JSCE:
     """Inference facade with the reference's API surface
     (img2msg / msg2img, jsce_codec.py:102-144)."""
 
+    @classmethod
+    def packaged(cls, **overrides) -> "JSCE":
+        """The facade around the TRAINED packaged checkpoint
+        (assets/jsce_soma_dscn.npz, produced by make_weights.py; geometry
+        from its metadata) — the analogue of the reference's default
+        checkpoint load at upload_featuremap_udp.py:78-82. Raises
+        FileNotFoundError if the asset is absent (override the location
+        with GWT_JSCE_WEIGHTS)."""
+        from gnuradio_wifi_imagetransfer_tpu.models import weights as wt
+
+        path = wt.default_checkpoint()
+        if path is None:
+            raise FileNotFoundError(
+                "no packaged JSCE checkpoint; run make_weights.py or set "
+                "GWT_JSCE_WEIGHTS")
+        _, meta = wt.load_soma_npz(path)
+        size = int(meta.get("img_size", 80))
+        kwargs = dict(
+            weight_path=path, img_size=(size, size),
+            compressed_channel=int(meta.get("compressed_channel", 64)))
+        kwargs.update(overrides)
+        return cls(**kwargs)
+
     def __init__(
         self,
         weight_path: Optional[str] = None,
@@ -91,6 +114,18 @@ class JSCE:
 
         if params is not None:
             self.enc_vars, self.dec_vars = params
+        elif weight_path is not None and weight_path.endswith(".npz"):
+            # native checkpoint trained by make_weights.py (the reference's
+            # .pth files are stripped from its repo)
+            from gnuradio_wifi_imagetransfer_tpu.models import weights as wt
+
+            variables, meta = wt.load_soma_npz(weight_path)
+            if meta.get("compressed_channel", compressed_channel) != compressed_channel:
+                raise ValueError(
+                    f"checkpoint has compressed_channel="
+                    f"{meta['compressed_channel']}, facade asked for "
+                    f"{compressed_channel}")
+            self.enc_vars, self.dec_vars = wt.split_soma(variables)
         elif weight_path is not None:
             from gnuradio_wifi_imagetransfer_tpu.models import convert
 
@@ -101,8 +136,10 @@ class JSCE:
             dummy_img = jnp.zeros((1, img_size[0], img_size[1], 3))
             dummy_lat = jnp.zeros((1, img_size[0] // 8, img_size[1] // 8, compressed_channel))
             label = jnp.zeros((256,))
-            self.enc_vars = self.encoder.init(k1, dummy_img, label)
-            self.dec_vars = self.decoder.init(k2, dummy_lat, label)
+            # jitted init: the tunneled TPU backend rejects some of flax's
+            # eager per-op init dispatches (see utils/trainer.py)
+            self.enc_vars = jax.jit(self.encoder.init)(k1, dummy_img, label)
+            self.dec_vars = jax.jit(self.decoder.init)(k2, dummy_lat, label)
 
         self._enc_apply = jax.jit(
             lambda v, x, l: self.encoder.apply(v, x, l))

@@ -16,8 +16,9 @@ tiles (the machinery of ops/pallas_fir.py):
 One kernel pass produces (a_re, a_im, p, c) for 128x128 samples with 14
 MXU matmuls — no cumsum chains, no gathers, and bit-compatible zero
 history at the stream start (matching phy/sync.sync_stats' zero padding).
-phy/sync.sync_stats is the XLA oracle; dispatch is opt-in via
-GWT_PALLAS_SYNC=1 pending on-hardware validation (see ops/pallas_fft.py).
+phy/sync.sync_stats is the XLA oracle; after on-hardware validation
+(v5e, 2026-08-20: 1.5e-6 rel parity, 580 vs 373 Msps) this kernel is the
+DEFAULT on TPU backends — override with GWT_PALLAS_SYNC=0/1.
 """
 
 from __future__ import annotations

@@ -40,7 +40,13 @@ def _use_pallas() -> bool:
     # vs 5.6 Msps, rel err 3e-7 — default ON for TPU backends
     try:
         return jax.default_backend() in ("tpu", "axon")
-    except Exception:
+    except RuntimeError as e:               # backend init failed
+        import warnings
+
+        warnings.warn(
+            f"backend probe failed ({e}); FIR/resampler falls back to the "
+            "XLA path — set GWT_PALLAS_FIR to pin the choice",
+            RuntimeWarning, stacklevel=2)
         return False
 
 

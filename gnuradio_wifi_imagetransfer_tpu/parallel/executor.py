@@ -271,7 +271,11 @@ class StreamExecutor(_StreamExecutorBase):
             ext, self.plan.n_sym, self.max_frames, self.phy,
             search_lo=HALO_LEFT, search_hi=HALO_LEFT + self.block,
         )
-        res = rx.decode_aligned(windows, self.plan, start=frame_start)
+        res = rx.decode_aligned(
+            windows, self.plan, start=frame_start,
+            algo=ChannelEstimator(self.phy.chan_est),
+            lms_mu=self.phy.lms_mu, sta_alpha=self.phy.sta_alpha,
+            sta_beta=self.phy.sta_beta)
         # one packed float32 vector per block (see _pack_f32); bools leave
         # the device as numeric — the axon TPU tunnel cannot transfer bool
         # (or complex) arrays to the host (see utils/xfer.py)
@@ -391,7 +395,8 @@ class _Candidate:
 
 @functools.lru_cache(maxsize=64)
 def _stage_b_fn(mcs: int, psdu_len: int, algo: int,
-                capture_symbols: bool = False):
+                capture_symbols: bool = False,
+                eq_params: tuple[float, float, float] = (0.5, 0.5, 0.5)):
     """jitted payload decode for one (MCS, length) bucket: raw windows +
     total CFO + alignment -> PSDU bytes (+ SIGNAL re-check + EVM SNR).
 
@@ -409,7 +414,9 @@ def _stage_b_fn(mcs: int, psdu_len: int, algo: int,
         n = jnp.arange(raw.shape[-1])
         w = raw * jnp.exp(-1j * cfo[:, None] * n)             # same ramp origin
         r = rx.decode_aligned(w, plan, start=frame_start,
-                              algo=ChannelEstimator(algo))
+                              algo=ChannelEstimator(algo),
+                              lms_mu=eq_params[0], sta_alpha=eq_params[1],
+                              sta_beta=eq_params[2])
         # pack (B, L + 2 [+ 2*S*48]): psdu | parity | snr | [symbols] —
         # one fetch per bucket
         parts = [
@@ -567,8 +574,9 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
         bucket: list[_Candidate],
     ) -> list[FrameRecord]:
         mcs, ln = bucket[0].rate_idx, bucket[0].length
-        fn, plan, wlen = _stage_b_fn(mcs, ln, int(self.algo),
-                                     self.capture_symbols)
+        fn, plan, wlen = _stage_b_fn(
+            mcs, ln, int(self.algo), self.capture_symbols,
+            (self.phy.lms_mu, self.phy.sta_alpha, self.phy.sta_beta))
         b = len(bucket)
         # pad the batch to the next power of two: compile count per plan is
         # O(log max_batch) instead of one program per batch size

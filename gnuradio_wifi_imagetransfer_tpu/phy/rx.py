@@ -77,17 +77,23 @@ def decode_aligned(
     plan: TxPlan,
     start: int | jnp.ndarray = 0,
     algo: ChannelEstimator = ChannelEstimator.LS,
+    lms_mu: float = 0.5,
+    sta_alpha: float = 0.5,
+    sta_beta: float = 0.5,
 ) -> RxResult:
     """Decode a frame whose preamble starts at ``start`` in ``samples``.
 
     The MCS/length come from ``plan`` (static shapes); the SIGNAL field is
     decoded and returned for validation but does not steer shapes — the
     streaming executor buckets frames by decoded SIGNAL before calling this.
+    lms_mu / sta_alpha / sta_beta tune the LMS/STA trackers (PhyConfig
+    carries them; the reference's frame_equalizer hard-codes its gains).
     """
     ltf1, ltf2, spectra = frame_spectra(samples, plan.n_sym, start)
     h0 = equalizer.ls_estimate(ltf1, ltf2)
     eq, csi = equalizer.equalize(spectra, h0, symbol_index0=0, algo=algo,
-                                 mcs=plan.mcs)
+                                 mcs=plan.mcs, lms_mu=lms_mu,
+                                 sta_alpha=sta_alpha, sta_beta=sta_beta)
     sig = signal_field.decode(eq[..., 0, :])
     data_eq = eq[..., 1:, :]
     data_csi = csi[..., 1:, :]

@@ -72,7 +72,13 @@ def sync_stats(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         # stream — default ON for TPU backends
         try:
             use_pallas = jax.default_backend() in ("tpu", "axon")
-        except Exception:
+        except RuntimeError as e:           # backend init failed
+            import warnings
+
+            warnings.warn(
+                f"backend probe failed ({e}); sync statistics fall back to "
+                "the XLA path — set GWT_PALLAS_SYNC to pin the choice",
+                RuntimeWarning, stacklevel=2)
             use_pallas = False
     if use_pallas:
         from gnuradio_wifi_imagetransfer_tpu.ops import pallas_sync

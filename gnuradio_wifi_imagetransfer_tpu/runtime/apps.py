@@ -63,11 +63,15 @@ def _serve_static(handler, path: str) -> bool:
         handler.send_response(404)
         handler.end_headers()
         return True
+    body = target.read_bytes()
     handler.send_response(200)
     handler.send_header(
         "Content-Type", _STATIC_TYPES.get(target.suffix, "application/octet-stream"))
+    # explicit length: correct under keep-alive too, not just the HTTP/1.0
+    # connection-close framing BaseHTTPRequestHandler defaults to
+    handler.send_header("Content-Length", str(len(body)))
     handler.end_headers()
-    handler.wfile.write(target.read_bytes())
+    handler.wfile.write(body)
     return True
 
 

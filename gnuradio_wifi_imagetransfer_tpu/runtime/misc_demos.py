@@ -60,6 +60,97 @@ class RandomImageDemo:
             self._thread.join(timeout=2.0)
 
 
+class RandomImageApp:
+    """The tmp_app.py web demo itself: serves templates/index.html at '/'
+    (the reference's landing page, templates/index.html) and pushes the
+    RandomImageDemo frames to the browser over the SSE hub — SocketIO on
+    port 5002 in the reference (tmp_app.py:1-49)."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 5002,
+                 interval: float = 1.0, shape=(100, 100, 3), seed: int = 0):
+        from gnuradio_wifi_imagetransfer_tpu.runtime import apps as _apps
+
+        self.hub = _apps._SseHub()
+        self.last_image_b64 = ""
+
+        def on_frame(arr):
+            b64 = _apps._jpeg_b64(arr)
+            self.last_image_b64 = b64
+            self.hub.publish({"image": b64})
+
+        self.demo = RandomImageDemo(shape=shape, interval=interval,
+                                    on_frame=on_frame, seed=seed)
+
+        app = self
+
+        class Handler(_apps.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                if _apps._serve_static(self, self.path):
+                    return
+                if self.path == "/":
+                    body = _apps._template("index.html")
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body.encode())))
+                    self.end_headers()
+                    self.wfile.write(body.encode())
+                    return
+                if self.path == "/events":
+                    import json as _json
+                    import queue as _queue
+
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    q = app.hub.subscribe()
+                    try:
+                        if app.last_image_b64:
+                            self.wfile.write(
+                                f"data: {_json.dumps({'image': app.last_image_b64})}\n\n".encode())
+                            self.wfile.flush()
+                        while True:
+                            try:
+                                ev = q.get(timeout=1.0)
+                            except _queue.Empty:
+                                self.wfile.write(b": keepalive\n\n")
+                                self.wfile.flush()
+                                continue
+                            self.wfile.write(
+                                f"data: {_json.dumps(ev)}\n\n".encode())
+                            self.wfile.flush()
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass
+                    finally:
+                        app.hub.unsubscribe(q)
+                    return
+                self.send_response(404)
+                self.end_headers()
+
+        from http.server import ThreadingHTTPServer
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self.httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self):
+        self._thread = threading.Thread(
+            target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        self.demo.start()
+        return self
+
+    def stop(self):
+        self.demo.stop()
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=2.0)
+
+
 class TcpImageSender:
     """Grayscale image → TCP pieces with ACK pacing (upload_image.py).
 

@@ -169,7 +169,11 @@ class Trainer:
         key = jax.random.key(seed)
         dummy_img = jnp.zeros((user_num, batch_size, img_size, img_size, 3))
         dummy_lab = jnp.zeros((user_num, 256))
-        variables = model.init(key, dummy_img, dummy_lab)
+        # jit the init: eager-mode flax init dispatches hundreds of tiny
+        # one-op programs, and the tunneled TPU backend rejects some of
+        # them (UNIMPLEMENTED) even though the same ops compile fine in a
+        # jitted program — and one poisoned output fails every later fetch
+        variables = jax.jit(model.init)(key, dummy_img, dummy_lab)
         self.state = TrainState(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
@@ -276,6 +280,53 @@ class Trainer:
             images, labels, teacher)
         self.state = TrainState(p, s, o, self.state.step + 1)
         return float(loss)
+
+    def train_steps(self, images_seq: np.ndarray, labels_seq: np.ndarray,
+                    mode: str = "default") -> np.ndarray:
+        """Run K optimizer steps in ONE device dispatch via lax.scan:
+        images_seq (K, U, B, H, W, 3), labels_seq (K, U, 256); returns the
+        K per-step losses.
+
+        TPU-idiomatic amortization: the tunneled/remote dispatch overhead
+        (tens of ms per call) is paid once per K steps instead of per
+        step, and the whole K-step chain stays on-device (BatchNorm
+        statistics carry through the scan). This replaces the reference's
+        per-batch Python loop (utils/Trainer.py train :120-155)."""
+        if mode not in self.MODES:
+            raise ValueError(f"mode must be one of {self.MODES}, got {mode!r}")
+        if mode == "distill" and self.teacher_vars is None:
+            self.set_teacher()
+        images_seq = jnp.asarray(images_seq)
+        labels_seq = jnp.asarray(labels_seq)
+        key = f"scan:{mode}:{images_seq.shape[0]}"
+        if key not in self._steps:
+            step = self._make_step(mode)      # shares the jitted single step
+
+            def scan_fn(params, batch_stats, opt_state, imgs, labs, teacher):
+                def body(carry, xs):
+                    p, s, o = carry
+                    im, lb = xs
+                    p, s, o, loss = step(p, s, o, im, lb, teacher)
+                    return (p, s, o), loss
+                (p, s, o), losses = jax.lax.scan(
+                    body, (params, batch_stats, opt_state), (imgs, labs))
+                return p, s, o, losses
+
+            self._steps[key] = jax.jit(scan_fn)
+        teacher = (self.teacher_vars if mode == "distill"
+                   else {"params": self.state.params,
+                         "batch_stats": self.state.batch_stats})
+        if self._data_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            images_seq = jax.device_put(
+                images_seq,
+                NamedSharding(self.mesh, P(None, None, "data")))
+        p, s, o, losses = self._steps[key](
+            self.state.params, self.state.batch_stats, self.state.opt_state,
+            images_seq, labels_seq, teacher)
+        self.state = TrainState(p, s, o, self.state.step + images_seq.shape[0])
+        return np.asarray(losses)
 
     def train_step_multiband(self, band_images, band_labels,
                              freq_weight=None) -> float:

@@ -1,0 +1,264 @@
+"""Train the SOMA-DSCN JSCE codec and produce the packaged checkpoint.
+
+The reference demonstrates Mode-1 with trained weights it does not ship
+(stripped .pth, /root/reference/.MISSING_LARGE_BLOBS; loaded at
+upload_featuremap_udp.py:78-82). This script regenerates our equivalent
+deterministically: a 2-user SOMANet (shared DSCN encoder + PE decoder,
+mean/sum superposition resolved by per-user positional-encoding labels)
+trained on random crops of the public-domain Kodak images, saved as a
+float16 npz small enough to commit
+(gnuradio_wifi_imagetransfer_tpu/assets/jsce_soma_dscn.npz).
+
+Default geometry: 80x80 images, compressed_channel 64 -> 10x10x64 latent,
+which tiles exactly into the Mode-1 UDP piece protocol's (10, 10, 1)
+pieces (image_detach_rebuild.py:4). Training runs K optimizer steps per
+device dispatch (Trainer.train_steps lax.scan) so the tunneled TPU's
+per-dispatch overhead is amortized; full train state checkpoints to /tmp
+each report so a crashed tunnel resumes instead of restarting.
+
+Usage:
+  python make_weights.py                  # train (resumes /tmp state)
+  python make_weights.py --steps 8000
+  python make_weights.py --eval-only      # PSNR/SSIM table from the npz
+  python make_weights.py --cpu            # force CPU backend
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+ASSET = os.path.join(
+    REPO, "gnuradio_wifi_imagetransfer_tpu", "assets", "jsce_soma_dscn.npz")
+STATE = "/tmp/gwt_jsce_train_state.npz"
+TRAIN_IMAGES = ["kodim01", "kodim03", "kodim04", "kodim07", "kodim21"]
+HOLDOUT = "kodim23"
+TARGET_USERS = ["3-4", "13-10"]      # the reference's hard-coded Mode-1 users
+IMG = 80
+C = 64
+U = 2
+B = 8
+K = 25                               # optimizer steps per device dispatch
+
+
+def _find_image(name: str) -> str:
+    for d in ("/root/reference/images",
+              os.path.join(REPO, "assets"),
+              os.path.join(REPO, "gnuradio_wifi_imagetransfer_tpu", "assets")):
+        p = os.path.join(d, name + ".png")
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(name)
+
+
+def load_kodak(names):
+    from PIL import Image
+
+    return [np.asarray(Image.open(_find_image(n)).convert("RGB"))
+            for n in names]
+
+
+def crops(rng, imgs, n, size=IMG):
+    """n random crops (n, size, size, 3) uint8 with flips."""
+    out = np.empty((n, size, size, 3), np.uint8)
+    for i in range(n):
+        im = imgs[rng.integers(len(imgs))]
+        y = rng.integers(im.shape[0] - size + 1)
+        x = rng.integers(im.shape[1] - size + 1)
+        c = im[y : y + size, x : x + size]
+        if rng.integers(2):
+            c = c[:, ::-1]
+        if rng.integers(2):
+            c = c[::-1]
+        out[i] = c
+    return out
+
+
+def random_user_keys(rng, u):
+    """Random 're-im' CSI keys; the demo TARGET pair appears periodically
+    so its labels are well-trained."""
+    if rng.integers(4) == 0:
+        return list(TARGET_USERS[:u])
+    keys = []
+    while len(keys) < u:
+        # the 're-im' key format cannot express negative parts (the
+        # reference's getCSI splits on '-', jsce_codec.py:98-100)
+        re, im = int(rng.integers(0, 30)), int(rng.integers(0, 30))
+        k = f"{re}-{im}"
+        if k not in keys:
+            keys.append(k)
+    return keys
+
+
+# --- full-train-state persistence (params + stats + adam moments) ---------
+
+def save_state(trainer, path):
+    import jax
+
+    leaves, _ = jax.tree.flatten(
+        (trainer.state.params, trainer.state.batch_stats,
+         trainer.state.opt_state))
+    np.savez(path, step=trainer.state.step,
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def restore_state(trainer, path) -> bool:
+    import jax
+    from gnuradio_wifi_imagetransfer_tpu.utils.trainer import TrainState
+
+    if not os.path.exists(path):
+        return False
+    data = np.load(path)
+    tpl = (trainer.state.params, trainer.state.batch_stats,
+           trainer.state.opt_state)
+    leaves, treedef = jax.tree.flatten(tpl)
+    if len(leaves) != len([k for k in data.files if k.startswith("leaf_")]):
+        return False
+    new_leaves = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    if any(l.shape != tuple(n.shape) for l, n in zip(leaves, new_leaves)):
+        return False
+    params, stats, opt = jax.tree.unflatten(treedef, new_leaves)
+    trainer.state = TrainState(params, stats, opt, int(data["step"]))
+    return True
+
+
+# --- evaluation -----------------------------------------------------------
+
+def eval_holdout(variables, n_crops=16, seed=123, save_grid=None):
+    """PSNR/SSIM of the full Mode-1 path (per-user encode -> mean
+    superpose -> L2-normalize -> per-user decode, the JSCE facade
+    semantics) on held-out kodim23 crops for the demo TARGET users."""
+    import jax.numpy as jnp
+
+    from gnuradio_wifi_imagetransfer_tpu.models.jsce import (
+        JSCE, normalize_image)
+    from gnuradio_wifi_imagetransfer_tpu.models.weights import split_soma
+    from gnuradio_wifi_imagetransfer_tpu.utils.metrics import psnr, ssim
+
+    rng = np.random.default_rng(seed)
+    holdout = load_kodak([HOLDOUT])
+    jsce = JSCE(img_size=(IMG, IMG), compressed_channel=C,
+                params=split_soma(variables))
+    scores = {u: {"psnr": [], "ssim": []} for u in TARGET_USERS}
+    grid = []
+    for _ in range(n_crops):
+        imgs = {u: crops(rng, holdout, 1)[0] for u in TARGET_USERS}
+        latent = jsce.img2msg(imgs)
+        for u in TARGET_USERS:
+            rec = np.asarray(jsce.msg2img(latent, u))
+            src = imgs[u]
+            scores[u]["psnr"].append(psnr(rec, src))
+            scores[u]["ssim"].append(float(ssim(rec, src, channel_axis=2)))
+        grid.append((imgs[TARGET_USERS[0]], np.asarray(
+            jsce.msg2img(latent, TARGET_USERS[0]))))
+    if save_grid:
+        from gnuradio_wifi_imagetransfer_tpu.utils.validation import render_grid
+
+        src = np.stack([g[0] for g in grid[:4]])
+        rec = np.stack([g[1] for g in grid[:4]])
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(2, 4, figsize=(10, 5.2))
+        for c in range(4):
+            axes[0, c].imshow(src[c]); axes[0, c].axis("off")
+            axes[1, c].imshow(rec[c]); axes[1, c].axis("off")
+        axes[0, 0].set_title("source", fontsize=9)
+        axes[1, 0].set_title("reconstruction", fontsize=9)
+        fig.tight_layout()
+        fig.savefig(save_grid, dpi=110)
+        plt.close(fig)
+    return {u: {m: float(np.mean(v)) for m, v in d.items()}
+            for u, d in scores.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore the /tmp resume state")
+    ap.add_argument("--report-every", type=int, default=8,
+                    help="dispatches between progress/checkpoint saves")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.eval_only:
+        from gnuradio_wifi_imagetransfer_tpu.models.weights import load_soma_npz
+
+        variables, meta = load_soma_npz(ASSET)
+        table = eval_holdout(variables, save_grid=os.path.join(
+            REPO, "assets", "jsce_quality_grid.png"))
+        print(json.dumps({"meta": meta, "holdout": table}, indent=2))
+        return
+
+    import optax
+
+    from gnuradio_wifi_imagetransfer_tpu.models.somanet import SOMANet, pe_labels
+    from gnuradio_wifi_imagetransfer_tpu.models.jsce import normalize_image
+    from gnuradio_wifi_imagetransfer_tpu.models.weights import save_soma_npz
+    from gnuradio_wifi_imagetransfer_tpu.utils.trainer import Trainer
+
+    print(f"backend: {jax.default_backend()}", flush=True)
+    rng = np.random.default_rng(0)
+    train_imgs = load_kodak(TRAIN_IMAGES)
+
+    model = SOMANet(compressed_channel=C, img_size=IMG)
+    schedule = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.01)
+    trainer = Trainer(model, learning_rate=schedule, user_num=U,
+                      img_size=IMG, batch_size=B, seed=0)
+    if not args.fresh and restore_state(trainer, STATE):
+        print(f"resumed step {trainer.state.step} from {STATE}", flush=True)
+
+    def batch_seq(k):
+        """(K, U, B, IMG, IMG, 3) normalized images + (K, U, 256) labels."""
+        imgs = np.empty((k, U, B, IMG, IMG, 3), np.float32)
+        labs = np.empty((k, U, 256), np.float32)
+        for i in range(k):
+            for u in range(U):
+                imgs[i, u] = normalize_image(crops(rng, train_imgs, B))
+            labs[i] = pe_labels(random_user_keys(rng, U))
+        return imgs, labs
+
+    t0 = time.time()
+    while trainer.state.step < args.steps:
+        imgs, labs = batch_seq(K)
+        losses = trainer.train_steps(imgs, labs, mode="m2m")
+        step = trainer.state.step
+        if (step // K - 1) % args.report_every == 0 or step >= args.steps:
+            rate = step / max(time.time() - t0, 1e-9)
+            print(f"step {step:6d}  loss {losses[-1]:.5f}  "
+                  f"({rate:.1f} steps/s)", flush=True)
+            save_state(trainer, STATE)
+
+    save_state(trainer, STATE)
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    table = eval_holdout(variables)
+    meta = {
+        "compressed_channel": C, "img_size": IMG, "users": TARGET_USERS,
+        "steps": int(trainer.state.step), "lr": args.lr,
+        "train_images": TRAIN_IMAGES, "holdout": HOLDOUT,
+        "holdout_metrics": table,
+    }
+    os.makedirs(os.path.dirname(ASSET), exist_ok=True)
+    save_soma_npz(variables, ASSET, meta)
+    print(json.dumps({"saved": ASSET, "holdout": table}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -260,6 +260,7 @@ def test_positional_encoding_matches_torch_reference():
     np.testing.assert_allclose(positionalencoding2d(d_model, h, w), pe.numpy(), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_jsce_facade_roundtrip_shapes():
     """Mode-1 API parity: img2msg fuses two users into one (30,30,128)
     latent; msg2img reconstructs a 240x240 image per user."""

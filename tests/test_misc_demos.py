@@ -32,3 +32,30 @@ def test_tcp_bw_image_roundtrip():
     sender.join()
     want = np.round(rgb @ np.array([0.299, 0.587, 0.114])).astype(np.uint8)
     np.testing.assert_array_equal(got, want)
+
+
+def test_random_image_app_serves_index_and_sse():
+    """The tmp_app.py web analogue: '/' serves the index.html landing page
+    (reference templates/index.html) and /events streams frame updates."""
+    import json
+    import urllib.request
+
+    from gnuradio_wifi_imagetransfer_tpu.runtime.misc_demos import RandomImageApp
+
+    app = RandomImageApp(port=0, interval=0.05, shape=(16, 16, 3)).start()
+    try:
+        html = urllib.request.urlopen(
+            f"http://127.0.0.1:{app.port}/", timeout=5).read().decode()
+        assert "Random NumPy Array Image" in html and "EventSource" in html
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{app.port}/events", timeout=5) as r:
+            deadline = time.time() + 5
+            payload = None
+            while time.time() < deadline:
+                line = r.readline().decode()
+                if line.startswith("data: "):
+                    payload = json.loads(line[6:])
+                    break
+            assert payload and payload["image"], "no SSE image event"
+    finally:
+        app.stop()

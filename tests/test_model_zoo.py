@@ -207,6 +207,7 @@ def test_csa_afb_scalar_and_multi_snr():
         assert np.all(np.abs(np.asarray(out)) <= np.abs(np.asarray(feat)) + 1e-6)
 
 
+@pytest.mark.slow
 def test_rcbgdn_and_rtcbds_shapes():
     x = jax.random.normal(KEY, (1, 16, 16, 3))
     blk = RCBGDN(3, 32, 2)
@@ -223,6 +224,7 @@ def test_rcbgdn_and_rtcbds_shapes():
     assert out.shape == (1, 8, 8, 32)
 
 
+@pytest.mark.slow
 def test_encoder_variants_shapes():
     img = jax.random.normal(KEY, (1, 32, 32, 3))
     enc = EncoderPE(compressed_channel=16)
@@ -236,6 +238,7 @@ def test_encoder_variants_shapes():
     assert out.shape == (1, 4, 4, 16)
 
 
+@pytest.mark.slow
 def test_decoder_variants_shapes():
     lat = jax.random.normal(KEY, (1, 4, 4, 16))
     dec = DecoderDSCN(compressed_channel=16)
@@ -247,6 +250,7 @@ def test_decoder_variants_shapes():
     assert out.shape == (1, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_conditional_vae_end_to_end():
     model = ConditionalVAE(in_channels=3, embedding_dim=4,
                            compressed_channel=8, img_size=32)
@@ -267,6 +271,7 @@ def test_conditional_vae_end_to_end():
     assert samples.shape == (2, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_vit_codec_encoder_decoder_mirror():
     size, dim = 16, 32
     x = jax.random.normal(KEY, (1, size * size, dim))
@@ -282,6 +287,7 @@ def test_vit_codec_encoder_decoder_mirror():
     assert out.shape == (1, size * size, dim)
 
 
+@pytest.mark.slow
 def test_somanet_pe_forward():
     model = SOMANetPE(compressed_channel=8, img_size=32, n_irs=4, csi_bound=30)
     images = jax.random.normal(KEY, (2, 1, 32, 32, 3))

@@ -49,6 +49,7 @@ def test_fir_filter_matches_numpy():
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_rx_after_2x_oversampled_capture():
     """Front-end rate matching: a 2x-oversampled capture is decimated by
     the polyphase resampler back to the symbol rate and decodes bit-exact

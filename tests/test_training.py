@@ -79,6 +79,43 @@ def test_environment_reset_and_graph():
     assert not np.allclose(p1, env.usr_pos)
 
 
+def test_trainer_mechanics_fast():
+    """Fast tier: Trainer descent + BatchNorm stats update + scan-batched
+    steps on a miniature conv model (Trainer is model-generic; the full
+    SOMANet trainings are the `slow`-marked tests below — compiling the
+    real codec dominates their runtime, not the steps)."""
+    import flax.linen as nn
+
+    class Mini(nn.Module):
+        @nn.compact
+        def __call__(self, images, labels, train=False):
+            u, b = images.shape[:2]
+            x = images.reshape((u * b,) + images.shape[2:])
+            x = nn.Conv(8, (3, 3))(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+            x = nn.Conv(3, (3, 3))(x)
+            return x.reshape(images.shape[:2] + x.shape[1:])
+
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((2, 2, 8, 8, 3)).astype(np.float32) * 0.3
+    labels = pe_labels(["3-4", "13-10"])[:, :256]
+    tr = Trainer(Mini(), learning_rate=3e-3, user_num=2, img_size=8,
+                 batch_size=2)
+    before = _flat_stats(tr.state.batch_stats)
+    losses = [tr.train_step(images, labels) for _ in range(4)]
+    assert losses[-1] < losses[0], losses
+    assert not np.allclose(before, _flat_stats(tr.state.batch_stats))
+    # scan-batched multi-step path (one dispatch for 5 steps)
+    seq_imgs = np.stack([images] * 5)
+    seq_labs = np.stack([labels] * 5)
+    scan_losses = tr.train_steps(seq_imgs, seq_labs)
+    assert scan_losses.shape == (5,)
+    assert scan_losses[-1] < scan_losses[0]
+    assert tr.state.step == 4 + 5
+
+
+@pytest.mark.slow
 def test_train_step_descends_and_checkpoints():
     model = SOMANet(compressed_channel=32, img_size=16, n_irs=4)
     tr = Trainer(model, learning_rate=1e-3, user_num=2, img_size=16, batch_size=2)
@@ -104,6 +141,7 @@ def _flat_stats(stats):
                            for x in jax.tree.leaves(stats)])
 
 
+@pytest.mark.slow
 def test_batch_stats_update_and_modes_descend():
     """VERDICT r1 item 6: BatchNorm running stats must change after a
     jitted step, and every loss mode must decrease its own loss."""
@@ -121,6 +159,7 @@ def test_batch_stats_update_and_modes_descend():
         assert losses[-1] < losses[0], (mode, losses)
 
 
+@pytest.mark.slow
 def test_distill_uses_frozen_teacher():
     rng = np.random.default_rng(1)
     images = rng.standard_normal((2, 2, 16, 16, 3)).astype(np.float32) * 0.3
@@ -137,6 +176,7 @@ def test_distill_uses_frozen_teacher():
     assert not np.allclose(t_before, s_now)   # student moved, teacher frozen
 
 
+@pytest.mark.slow
 def test_multiband_step():
     rng = np.random.default_rng(2)
     band_images = rng.standard_normal((2, 2, 2, 16, 16, 3)).astype(np.float32) * 0.3

@@ -1,0 +1,74 @@
+"""Packaged JSCE checkpoint: loads, decodes, and beats random-init.
+
+The reference ships trained .pth weights (stripped from its repo,
+.MISSING_LARGE_BLOBS) and demonstrates Mode-1 reconstruction with them
+(upload_featuremap_udp.py:78-82, assets/202503071455_lite.gif); the
+packaged assets/jsce_soma_dscn.npz — trained by make_weights.py — is our
+equivalent, and these tests pin that it actually reconstructs."""
+
+import numpy as np
+import pytest
+
+from gnuradio_wifi_imagetransfer_tpu.models import weights as wt
+
+
+def test_packaged_checkpoint_exists_and_loads():
+    path = wt.default_checkpoint()
+    assert path is not None, "assets/jsce_soma_dscn.npz missing from package"
+    variables, meta = wt.load_soma_npz(path)
+    assert meta["compressed_channel"] == 64
+    assert meta["img_size"] == 80
+    assert meta["users"] == ["3-4", "13-10"]
+    # the committed metadata records the held-out quality measured at save
+    for u in meta["users"]:
+        assert meta["holdout_metrics"][u]["psnr"] > 18.0, meta
+    enc, dec = wt.split_soma(variables)
+    assert "params" in enc and "batch_stats" in enc
+    assert "params" in dec
+    # leaves restored to float32 for compute
+    flat = wt._flatten(variables)
+    assert all(v.dtype == np.float32 for v in flat.values()
+               if np.issubdtype(v.dtype, np.floating))
+
+
+def test_roundtrip_flatten_unflatten():
+    tree = {"a": {"b": np.arange(3.0, dtype=np.float32)},
+            "c": np.ones((2, 2), np.float32)}
+    flat = wt._flatten(tree)
+    back = wt._unflatten(flat)
+    np.testing.assert_array_equal(back["a"]["b"], tree["a"]["b"])
+    np.testing.assert_array_equal(back["c"], tree["c"])
+
+
+@pytest.mark.slow
+def test_packaged_weights_reconstruct_above_random_init():
+    """Full Mode-1 facade path (2-user mean superposition, L2 channel
+    norm): the trained checkpoint reconstructs held-out Kodak crops far
+    above a random-init facade; measured at save time: ~21-22 dB PSNR /
+    0.63-0.65 SSIM per user (make_weights.py, 6000 steps)."""
+    from PIL import Image
+
+    from gnuradio_wifi_imagetransfer_tpu.models.jsce import JSCE
+    from gnuradio_wifi_imagetransfer_tpu.utils.metrics import psnr
+
+    img = np.asarray(Image.open("assets/kodim23.png").convert("RGB"))
+    rng = np.random.default_rng(5)
+    crops = {}
+    for u in ("3-4", "13-10"):
+        y, x = rng.integers(img.shape[0] - 80), rng.integers(img.shape[1] - 80)
+        crops[u] = img[y : y + 80, x : x + 80]
+
+    trained = JSCE.packaged()
+    latent = trained.img2msg(crops)
+    assert latent.shape == (10, 10, 64)     # tiles (10,10,1) Mode-1 pieces
+    trained_psnr = {u: psnr(np.asarray(trained.msg2img(latent, u)), crops[u])
+                    for u in crops}
+
+    rand = JSCE(img_size=(80, 80), compressed_channel=64, rng_seed=3)
+    latent_r = rand.img2msg(crops)
+    rand_psnr = {u: psnr(np.asarray(rand.msg2img(latent_r, u)), crops[u])
+                 for u in crops}
+
+    for u in crops:
+        assert trained_psnr[u] > 17.0, (trained_psnr, rand_psnr)
+        assert trained_psnr[u] > rand_psnr[u] + 5.0, (trained_psnr, rand_psnr)
