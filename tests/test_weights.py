@@ -44,8 +44,8 @@ def test_roundtrip_flatten_unflatten():
 def test_packaged_weights_reconstruct_above_random_init():
     """Full Mode-1 facade path (2-user mean superposition, L2 channel
     norm): the trained checkpoint reconstructs held-out Kodak crops far
-    above a random-init facade; measured at save time: ~21-22 dB PSNR /
-    0.63-0.65 SSIM per user (make_weights.py, 6000 steps)."""
+    above a random-init facade; measured at save time: ~21-23 dB PSNR /
+    ~0.70 SSIM per user (make_weights.py, 20000 steps)."""
     from PIL import Image
 
     from gnuradio_wifi_imagetransfer_tpu.models.jsce import JSCE
