@@ -152,9 +152,15 @@ def detect(
         search_hi = n
     in_range = jnp.logical_and(idx >= search_lo, idx < search_hi)
     edge = jnp.logical_and(edge, in_range)
-    # first K edges: sort by (not edge, index)
-    key = jnp.where(edge, idx, n)
-    starts = jnp.sort(key)[:max_frames].astype(jnp.int32)
+    # first K edges == the K largest values of -index among edges (block
+    # sentinel -n for non-edges); top_k is O(n·K)-ish on TPU where a full
+    # jnp.sort of the 256k-sample block was the RX step's single biggest
+    # cost (v5e, 2026-08-21: detection+gather 444 -> 1953 Msps marginal,
+    # full RX step 305 -> 635 Msps). top_k returns values descending,
+    # i.e. indices ascending — the same order the sort produced.
+    key = jnp.where(edge, -idx, -n)
+    neg_starts, _ = jax.lax.top_k(key, max_frames)
+    starts = (-neg_starts).astype(jnp.int32)
     valid = starts < n
     starts_c = jnp.minimum(starts, n - 1)
     # edge index is the plateau *end* of the first min_plateau run; the
