@@ -34,7 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gnuradio_wifi_imagetransfer_tpu.phy import params
 
-LANES = 128      # frame-batch lanes per kernel invocation (VPU lane width)
+LANES = 128      # lane quantum (VPU lane width)
+MAX_LANES = 512  # widest frame-batch tile per kernel invocation: the ACS
+                 # recursion is matmul-LATENCY-bound (two dependent 64x64
+                 # matmuls per trellis step), so widening the lane axis
+                 # raises throughput almost for free until VMEM pressure —
+                 # (64, 512) tiles guarantee one kernel pass for the
+                 # streaming executor's 256-512-frame batches
 CHUNK = 128      # trellis steps processed per grid step
 _NEG = -1e30
 
@@ -56,81 +62,85 @@ def _np_tables():
     return p0, p1, outs, t["prev_state"], t["prev_bit"]
 
 
-def _acs_kernel(p0_ref, p1_ref, outs_ref, la_ref, lb_ref, dec_ref, pm_ref, pm):
-    """One grid step = CHUNK trellis steps over the persistent VMEM metrics."""
-    i = pl.program_id(0)
+def _make_acs_kernel(lanes: int):
+    def _acs_kernel(p0_ref, p1_ref, outs_ref, la_ref, lb_ref, dec_ref, pm_ref, pm):
+        """One grid step = CHUNK trellis steps over the persistent VMEM metrics."""
+        i = pl.program_id(0)
 
-    @pl.when(i == 0)
-    def _():
-        state = jax.lax.broadcasted_iota(jnp.int32, (64, LANES), 0)
-        pm[:] = jnp.where(state == 0, 0.0, _NEG).astype(jnp.float32)
+        @pl.when(i == 0)
+        def _():
+            state = jax.lax.broadcasted_iota(jnp.int32, (64, lanes), 0)
+            pm[:] = jnp.where(state == 0, 0.0, _NEG).astype(jnp.float32)
 
-    p0 = p0_ref[:]
-    p1 = p1_ref[:]
-    o00 = outs_ref[:, 0:1]   # (64, 1) out bits on the k=0 edge
-    o01 = outs_ref[:, 1:2]
-    o10 = outs_ref[:, 2:3]
-    o11 = outs_ref[:, 3:4]
+        p0 = p0_ref[:]
+        p1 = p1_ref[:]
+        o00 = outs_ref[:, 0:1]   # (64, 1) out bits on the k=0 edge
+        o01 = outs_ref[:, 1:2]
+        o10 = outs_ref[:, 2:3]
+        o11 = outs_ref[:, 3:4]
 
-    def step(j, _):
-        la = la_ref[pl.ds(j, 1), :]                       # (1, LANES)
-        lb = lb_ref[pl.ds(j, 1), :]
-        cur = pm[:]
-        prev0 = jnp.dot(p0, cur, preferred_element_type=jnp.float32)
-        prev1 = jnp.dot(p1, cur, preferred_element_type=jnp.float32)
-        cand0 = prev0 + o00 * la + o01 * lb               # (64, LANES)
-        cand1 = prev1 + o10 * la + o11 * lb
-        # match the XLA oracle's argmax tie-break (first max -> k=0)
-        dec = cand1 > cand0
-        new = jnp.maximum(cand0, cand1)
-        new = new - jnp.max(new, axis=0, keepdims=True)   # drift control
-        pm[:] = new
-        dec_ref[pl.ds(j, 1), :, :] = dec.astype(jnp.uint8)[None]
-        return 0
+        def step(j, _):
+            la = la_ref[pl.ds(j, 1), :]                   # (1, lanes)
+            lb = lb_ref[pl.ds(j, 1), :]
+            cur = pm[:]
+            prev0 = jnp.dot(p0, cur, preferred_element_type=jnp.float32)
+            prev1 = jnp.dot(p1, cur, preferred_element_type=jnp.float32)
+            cand0 = prev0 + o00 * la + o01 * lb           # (64, lanes)
+            cand1 = prev1 + o10 * la + o11 * lb
+            # match the XLA oracle's argmax tie-break (first max -> k=0)
+            dec = cand1 > cand0
+            new = jnp.maximum(cand0, cand1)
+            new = new - jnp.max(new, axis=0, keepdims=True)  # drift control
+            pm[:] = new
+            dec_ref[pl.ds(j, 1), :, :] = dec.astype(jnp.uint8)[None]
+            return 0
 
-    jax.lax.fori_loop(0, CHUNK, step, 0)
+        jax.lax.fori_loop(0, CHUNK, step, 0)
 
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        pm_ref[:] = pm[:]
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            pm_ref[:] = pm[:]
+
+    return _acs_kernel
 
 
 def acs_forward(llr_a: jnp.ndarray, llr_b: jnp.ndarray, interpret: bool = False):
     """Run the forward ACS recursion.
 
     llr_a/llr_b: (n, B) float32 LLRs of the first/second mother-code bit of
-    each trellis step (depunctured positions = 0). B <= LANES.
+    each trellis step (depunctured positions = 0). B <= MAX_LANES.
     Returns (dec, pm_final): dec (n, 64, B) uint8 survivor choices,
     pm_final (64, B) float32 metrics after the last (padded) step.
     """
     n, b = llr_a.shape
-    if b > LANES:
-        raise ValueError(f"batch {b} > {LANES}; tile the batch outside")
+    if b > MAX_LANES:
+        raise ValueError(f"batch {b} > {MAX_LANES}; tile the batch outside")
+    lanes = -(-b // LANES) * LANES            # round up to the lane quantum
     n_pad = -(-n // CHUNK) * CHUNK
-    la = jnp.zeros((n_pad, LANES), jnp.float32).at[:n, :b].set(llr_a)
-    lb = jnp.zeros((n_pad, LANES), jnp.float32).at[:n, :b].set(llr_b)
+    la = jnp.zeros((n_pad, lanes), jnp.float32).at[:n, :b].set(llr_a)
+    lb = jnp.zeros((n_pad, lanes), jnp.float32).at[:n, :b].set(llr_b)
     p0, p1, outs, _, _ = _np_tables()
 
     grid = (n_pad // CHUNK,)
     dec, pm_final = pl.pallas_call(
-        _acs_kernel,
+        _make_acs_kernel(lanes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 64), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((64, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((CHUNK, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, lanes), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((CHUNK, 64, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((64, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((CHUNK, 64, lanes), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((64, lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_pad, 64, LANES), jnp.uint8),
-            jax.ShapeDtypeStruct((64, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 64, lanes), jnp.uint8),
+            jax.ShapeDtypeStruct((64, lanes), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((64, LANES), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((64, lanes), jnp.float32)],
         interpret=interpret,
     )(jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(outs), la, lb)
     return dec[:n, :, :b], pm_final[:, :b]
@@ -150,8 +160,8 @@ def decode(llrs: jnp.ndarray, n_bits: int, interpret: bool = False) -> jnp.ndarr
     prev_bit = jnp.asarray(prev_bit_np)
 
     pieces = []
-    for lo in range(0, b, LANES):
-        tile = x[lo : lo + LANES]                          # (bt, n, 2)
+    for lo in range(0, b, MAX_LANES):
+        tile = x[lo : lo + MAX_LANES]                      # (bt, n, 2)
         dec, _ = acs_forward(tile[:, :, 0].T, tile[:, :, 1].T, interpret=interpret)
         bt = tile.shape[0]
         bi = jnp.arange(bt)

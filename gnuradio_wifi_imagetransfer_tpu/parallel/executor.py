@@ -120,6 +120,15 @@ class _StreamExecutorBase:
     def _block_fn(self, ext: jnp.ndarray) -> jnp.ndarray:
         raise NotImplementedError
 
+    def _blocks_fn(self, flat: jnp.ndarray) -> jnp.ndarray:
+        """(B, ext_len) extended blocks -> (B, F) packed outputs. Default:
+        vmap the per-block function; subclasses may override to flatten
+        frame-level work across blocks (vmapping a whole decode turns its
+        Pallas kernels into B tiny grid-mapped instances — e.g. 4-lane
+        Viterbi calls padded to 128 lanes — where one flat batch fills
+        the lanes)."""
+        return jax.vmap(self._block_fn)(flat)
+
     def _build_local_step(self):
         # I/O crosses the jit boundary as (..., 2) real/imag pairs (float32
         # or sc16 int16): the axon TPU backend rejects complex64 at program
@@ -131,7 +140,7 @@ class _StreamExecutorBase:
             c, t, e = blocks.shape
             # single-level vmap over the flattened (C*T) block axis: nested
             # vmaps of this pipeline stall the TPU compiler service
-            out = jax.vmap(self._block_fn)(blocks.reshape(c * t, e))
+            out = self._blocks_fn(blocks.reshape(c * t, e))
             return out.reshape((c, t) + out.shape[1:])
 
         return step
@@ -156,7 +165,7 @@ class _StreamExecutorBase:
             right_halo = jax.lax.ppermute(
                 x_local[:, : self.halo_right], "time", perm=right_src)
             ext = jnp.concatenate([left_halo, x_local, right_halo], axis=-1)
-            out = jax.vmap(self._block_fn)(ext)
+            out = self._blocks_fn(ext)    # flattens frames across channels
             return out[:, None]           # re-insert time-block dim
 
         from jax import shard_map
@@ -261,34 +270,68 @@ class StreamExecutor(_StreamExecutorBase):
         self.halo_right = sync.window_len(plan.n_sym)
         self._init_common(mesh, exec_cfg, phy_cfg, tracer)
 
-    def _block_fn(self, ext: jnp.ndarray) -> jnp.ndarray:
-        """Decode one extended block (halo_left + block + halo_right,);
-        only sync edges inside the owned [halo_left, halo_left + block)
-        region are claimed."""
+    def _decode_packed(self, windows, frame_start, starts, valid, cfo, lead):
+        """Decode a flat frame batch and pack (see _pack_f32 layout):
+        windows (B, wlen), frame_start/starts/valid/cfo (B,) -> per-
+        leading-unit packed rows ``lead + (F,)`` where each row is
+        [psdu (K*L) | valid K | starts K | cfo K | rate K | len K |
+        parity K | snr K] for that unit's K frame slots."""
         from gnuradio_wifi_imagetransfer_tpu.utils.tracing import evm_snr_db
 
-        windows, frame_start, cand = sync.synchronize(
-            ext, self.plan.n_sym, self.max_frames, self.phy,
-            search_lo=HALO_LEFT, search_hi=HALO_LEFT + self.block,
-        )
         res = rx.decode_aligned(
             windows, self.plan, start=frame_start,
             algo=ChannelEstimator(self.phy.chan_est),
             lms_mu=self.phy.lms_mu, sta_alpha=self.phy.sta_alpha,
             sta_beta=self.phy.sta_beta)
-        # one packed float32 vector per block (see _pack_f32); bools leave
-        # the device as numeric — the axon TPU tunnel cannot transfer bool
-        # (or complex) arrays to the host (see utils/xfer.py)
-        return _pack_f32([
-            res.psdu,                     # K * L
-            cand.valid,                   # K
-            cand.starts - HALO_LEFT,      # K  block-relative edge position
-            cand.cfo,                     # K
-            res.sig["rate_idx"],          # K
-            res.sig["length"],            # K
-            res.sig["parity_ok"],         # K
-            evm_snr_db(res.eq_symbols, self.plan.mcs),   # K  SNR probe analogue
-        ])
+        # bools leave the device as numeric — the axon TPU tunnel cannot
+        # transfer bool (or complex) arrays to the host (see utils/xfer.py)
+        parts = [
+            res.psdu,                     # (B, L)
+            valid[..., None],
+            (starts - HALO_LEFT)[..., None],        # block-relative edge
+            cfo[..., None],
+            res.sig["rate_idx"][..., None],
+            res.sig["length"][..., None],
+            res.sig["parity_ok"][..., None],
+            evm_snr_db(res.eq_symbols, self.plan.mcs)[..., None],  # SNR probe
+        ]
+        k = self.max_frames
+        return jnp.concatenate(
+            [p.astype(jnp.float32).reshape(lead + (k * p.shape[-1],))
+             for p in parts], axis=-1)
+
+    def _block_fn(self, ext: jnp.ndarray) -> jnp.ndarray:
+        """Decode one extended block (halo_left + block + halo_right,);
+        only sync edges inside the owned [halo_left, halo_left + block)
+        region are claimed. (Used by the sharded path, where the per-
+        device block count is small; the local path flattens frames
+        across blocks in _blocks_fn.)"""
+        windows, frame_start, cand = sync.synchronize(
+            ext, self.plan.n_sym, self.max_frames, self.phy,
+            search_lo=HALO_LEFT, search_hi=HALO_LEFT + self.block,
+        )
+        return self._decode_packed(windows, frame_start, cand.starts,
+                                   cand.valid, cand.cfo, lead=())
+
+    def _blocks_fn(self, flat: jnp.ndarray) -> jnp.ndarray:
+        """Flatten the (B blocks x K slots) frame batch through ONE decode:
+        a vmapped per-block decode hands the Pallas Viterbi B tiny 4-lane
+        grid instances (each padded to 128 lanes); flat batching fills
+        the kernel's lanes instead (v5e, 2026-08-21: full RX step 635 ->
+        1025-1040 Msps; sync/detection stays vmapped per block)."""
+        def sync_one(ext):
+            w, fs, cand = sync.synchronize(
+                ext, self.plan.n_sym, self.max_frames, self.phy,
+                search_lo=HALO_LEFT, search_hi=HALO_LEFT + self.block,
+            )
+            return w, fs, cand.starts, cand.valid, cand.cfo
+
+        windows, frame_start, starts, valid, cfo = jax.vmap(sync_one)(flat)
+        b, k, wlen = windows.shape
+        return self._decode_packed(
+            windows.reshape(b * k, wlen), frame_start.reshape(b * k),
+            starts.reshape(b * k), valid.reshape(b * k), cfo.reshape(b * k),
+            lead=(b,))
 
     def _unpack(self, flat: np.ndarray):
         """(C, T, F) packed step output -> the 8 logical arrays."""
