@@ -4,6 +4,8 @@ rebuild (BASELINE config[1] skeleton)."""
 
 import zlib
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -133,3 +135,51 @@ def test_mode2_end_to_end_over_phy():
         n_drawn += 1
     assert n_drawn == len(pieces)
     assert np.array_equal(canvas, im)
+
+
+@pytest.mark.slow
+def test_mode2_full_kodak_set_qpsk_and_16qam():
+    """BASELINE config[1]: Mode-2 multi-frame image transfer over AWGN at
+    QPSK 3/4 and 16-QAM 3/4 across the full shipped Kodak set (each image
+    downscaled to 30x30 to keep the CPU-jit suite sane: 27 pieces/image x
+    6 images x 2 MCS through the real detach -> MAC -> PHY -> sync ->
+    FCS -> redraw path, every piece bit-exact)."""
+    from pathlib import Path
+
+    from PIL import Image
+
+    kodaks = sorted(Path("assets").glob("kodim*.png"))
+    assert len(kodaks) == 6, kodaks
+    mac_tx = mac.Mac()
+    rng = np.random.default_rng(3)
+    for mcs, snr_db in ((3, 22.0), (5, 26.0)):       # QPSK 3/4, 16-QAM 3/4
+        for path in kodaks:
+            im = np.asarray(Image.open(path).convert("RGB").resize((30, 30)))
+            pieces = img.detach_image(im, rng=rng)
+            datagrams = [img.encode_piece(p) for p in pieces]
+            mpdus = np.stack([
+                np.frombuffer(mac_tx.frame(d), dtype=np.uint8)
+                for d in datagrams])
+            L = mpdus.shape[1]
+            bursts = tx.transmit(
+                jnp.asarray(mpdus), mcs,
+                scrambler_seed=jnp.asarray(np.arange(len(mpdus)) % 127 + 1))
+            stream = np.asarray(
+                tx.pad_burst(bursts, pad_front=120, pad_tail=280).reshape(-1))
+            noise = 0.5 * 10 ** (-snr_db / 20) / np.sqrt(2)
+            stream = (stream + noise * (
+                rng.standard_normal(stream.size)
+                + 1j * rng.standard_normal(stream.size))).astype(np.complex64)
+            res, cand = sync.receive(jnp.asarray(stream), tx.tx_plan(mcs, L),
+                                     max_frames=2 * len(pieces))
+            ok = np.array(cand.valid) & np.array(res.sig["parity_ok"])
+            canvas = np.zeros_like(im)
+            drawn = 0
+            for row in np.array(res.psdu)[ok]:
+                f = mac.parse(row.tobytes())
+                if f.fcs_ok:
+                    img.redraw_image(img.decode_piece(f.payload), canvas)
+                    drawn += 1
+            assert drawn >= len(pieces), (path.name, mcs, drawn)
+            np.testing.assert_array_equal(canvas, im,
+                                          err_msg=f"{path.name} mcs{mcs}")
