@@ -520,16 +520,20 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
 
     # -- stage A -------------------------------------------------------
 
+    def _sig_decode(self, windows: jnp.ndarray, frame_start: jnp.ndarray):
+        """(B, wlen) windows + (B,) alignments -> SIGNAL field dict."""
+        ltf1, ltf2, spectra = rx.frame_spectra(windows, 0, frame_start)
+        h0 = equalizer.ls_estimate(ltf1, ltf2)
+        eq, _ = equalizer.equalize(spectra, h0, symbol_index0=0, algo=self.algo)
+        return signal_field.decode(eq[..., 0, :])
+
     def _block_fn(self, ext: jnp.ndarray) -> jnp.ndarray:
         """SIGNAL-only receive on one extended block."""
         windows, frame_start, cand = sync.synchronize(
             ext, 0, self.max_frames, self.phy,
             search_lo=HALO_LEFT, search_hi=HALO_LEFT + self.block,
         )
-        ltf1, ltf2, spectra = rx.frame_spectra(windows, 0, frame_start)
-        h0 = equalizer.ls_estimate(ltf1, ltf2)
-        eq, _ = equalizer.equalize(spectra, h0, symbol_index0=0, algo=self.algo)
-        sig = signal_field.decode(eq[..., 0, :])
+        sig = self._sig_decode(windows, frame_start)
         return _pack_f32([                 # (7K,) — one fetch per super-block
             cand.valid,
             cand.starts - HALO_LEFT,       # block-relative edge position
@@ -539,6 +543,27 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
             sig["length"],
             sig["parity_ok"],
         ])
+
+    def _blocks_fn(self, flat: jnp.ndarray) -> jnp.ndarray:
+        """Flatten the SIGNAL decodes across blocks (same rationale as
+        StreamExecutor._blocks_fn: fill the kernels' lanes instead of
+        vmapping B tiny decodes)."""
+        def sync_one(ext):
+            w, fs, cand = sync.synchronize(
+                ext, 0, self.max_frames, self.phy,
+                search_lo=HALO_LEFT, search_hi=HALO_LEFT + self.block,
+            )
+            return w, fs, cand.starts, cand.valid, cand.cfo
+
+        windows, frame_start, starts, valid, cfo = jax.vmap(sync_one)(flat)
+        b, k, wlen = windows.shape
+        sig = self._sig_decode(windows.reshape(b * k, wlen),
+                               frame_start.reshape(b * k))
+        parts = [valid, starts - HALO_LEFT, cfo, frame_start,
+                 sig["rate_idx"].reshape(b, k), sig["length"].reshape(b, k),
+                 sig["parity_ok"].reshape(b, k)]
+        return jnp.concatenate(
+            [p.astype(jnp.float32) for p in parts], axis=-1)   # (B, 7K)
 
     def _unpack_a(self, flat: np.ndarray):
         """(C, T, 7K) packed stage-A output -> the 7 logical arrays."""
