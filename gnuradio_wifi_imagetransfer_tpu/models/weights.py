@@ -14,6 +14,7 @@ make_weights.py; default_checkpoint() resolves it for the demo apps.
 
 from __future__ import annotations
 
+import collections.abc
 import importlib.resources
 import json
 import os
@@ -29,7 +30,10 @@ def _flatten(tree, prefix=""):
     out = {}
     for k, v in tree.items():
         key = f"{prefix}{SEP}{k}" if prefix else str(k)
-        if isinstance(v, dict):
+        # Mapping, not dict: flax FrozenDict collections are Mappings but
+        # not dict subclasses — treating one as a leaf would np.asarray it
+        # into an object array and silently corrupt the npz (ADVICE r3)
+        if isinstance(v, collections.abc.Mapping):
             out.update(_flatten(v, key))
         else:
             out[key] = np.asarray(v)
@@ -88,7 +92,12 @@ def default_checkpoint() -> Optional[str]:
     (it ships via [tool.setuptools.package-data] assets)."""
     override = os.environ.get("GWT_JSCE_WEIGHTS")
     if override:
-        return override if os.path.exists(override) else None
+        if not os.path.exists(override):
+            # a typo'd override silently falling through to the packaged
+            # default would mask the user's intent (ADVICE r3)
+            raise FileNotFoundError(
+                f"GWT_JSCE_WEIGHTS points at a missing file: {override}")
+        return override
     try:
         root = importlib.resources.files("gnuradio_wifi_imagetransfer_tpu")
         p = root / "assets" / "jsce_soma_dscn.npz"

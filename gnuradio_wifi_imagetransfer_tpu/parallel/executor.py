@@ -111,6 +111,18 @@ class _StreamExecutorBase:
         self.block = exec_cfg.block_size
         self.max_frames = exec_cfg.max_frames_per_block
         if mesh is not None:
+            # mesh-mode strides advance by span - (halo_right + HALO_LEFT);
+            # if that is <= 0 the trusted interval of every stride is empty
+            # (all frames masked untrusted, O(n) strides at step ~1 —
+            # silent total frame loss, ADVICE r3). Demand real progress.
+            span = mesh.shape["time"] * self.block
+            if span - (self.halo_right + HALO_LEFT) <= 0:
+                raise ValueError(
+                    f"mesh-mode span {span} (time={mesh.shape['time']} x "
+                    f"block_size={self.block}) must exceed halo_right + "
+                    f"HALO_LEFT = {self.halo_right} + {HALO_LEFT}: frames "
+                    f"need that much context, so no stride would own a "
+                    f"trusted interval — raise block_size or time shards")
             self._step = self._build_sharded_step(mesh)
         else:
             self._step = self._build_local_step()

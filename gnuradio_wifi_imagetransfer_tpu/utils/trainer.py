@@ -291,14 +291,19 @@ class Trainer:
         (tens of ms per call) is paid once per K steps instead of per
         step, and the whole K-step chain stays on-device (BatchNorm
         statistics carry through the scan). This replaces the reference's
-        per-batch Python loop (utils/Trainer.py train :120-155)."""
+        per-batch Python loop (utils/Trainer.py train :120-155).
+
+        images_seq may be uint8 (raw pixels): normalization then runs
+        inside the jitted scan — at 240x240 reference geometry a float32
+        K-step batch is ~280 MB on the wire; uint8 is 4x smaller and the
+        ImageNet normalize (jsce_codec.py:78-83) is free on-device."""
         if mode not in self.MODES:
             raise ValueError(f"mode must be one of {self.MODES}, got {mode!r}")
         if mode == "distill" and self.teacher_vars is None:
             self.set_teacher()
         images_seq = jnp.asarray(images_seq)
         labels_seq = jnp.asarray(labels_seq)
-        key = f"scan:{mode}:{images_seq.shape[0]}"
+        key = f"scan:{mode}:{images_seq.shape[0]}:{images_seq.dtype}"
         if key not in self._steps:
             step = self._make_step(mode)      # shares the jitted single step
 
@@ -306,6 +311,11 @@ class Trainer:
                 def body(carry, xs):
                     p, s, o = carry
                     im, lb = xs
+                    if im.dtype == jnp.uint8:
+                        from gnuradio_wifi_imagetransfer_tpu.models.jsce import (
+                            IMAGENET_MEAN, IMAGENET_STD)
+                        im = (im.astype(jnp.float32) / 255.0
+                              - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
                     p, s, o, loss = step(p, s, o, im, lb, teacher)
                     return (p, s, o), loss
                 (p, s, o), losses = jax.lax.scan(

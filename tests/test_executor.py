@@ -147,3 +147,17 @@ def test_mesh_executor_frame_at_stream_end_unpadded(payloads):
         records = [r for r in ex.run(x) if r.parity_ok]
         assert len(records) == 1, f"mesh={mesh.shape}: {len(records)} records"
         _check(records, payloads[:1], [pos])
+
+
+def test_mesh_executor_rejects_degenerate_block_size():
+    """A mesh span <= halo_right + HALO_LEFT leaves no trusted stride
+    interval (every frame masked untrusted at O(n) strides — ADVICE r3);
+    the constructor must refuse rather than silently lose every frame."""
+    from gnuradio_wifi_imagetransfer_tpu.parallel.executor import HALO_LEFT
+
+    plan = tx.tx_plan(MCS, L)
+    mesh = make_mesh(channels=1, time_shards=1)
+    too_small = sync.window_len(plan.n_sym) + HALO_LEFT  # span == halo total
+    with pytest.raises(ValueError, match="trusted"):
+        StreamExecutor(plan, mesh=mesh, exec_cfg=ExecutorConfig(
+            block_size=too_small, time_shards=1, channels=1))

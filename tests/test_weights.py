@@ -72,3 +72,24 @@ def test_packaged_weights_reconstruct_above_random_init():
     for u in crops:
         assert trained_psnr[u] > 17.0, (trained_psnr, rand_psnr)
         assert trained_psnr[u] > rand_psnr[u] + 5.0, (trained_psnr, rand_psnr)
+
+
+def test_flatten_handles_frozen_mapping():
+    """Flax variable collections may arrive as FrozenDict (a Mapping but
+    not a dict subclass); _flatten must recurse, not np.asarray the whole
+    collection into an object leaf (ADVICE r3)."""
+    import flax.core
+
+    tree = {"params": flax.core.freeze(
+        {"layer": {"w": np.ones((2, 2), np.float32)}})}
+    flat = wt._flatten(tree)
+    assert set(flat) == {"params/layer/w"}
+    assert flat["params/layer/w"].dtype == np.float32
+
+
+def test_missing_weights_override_raises(monkeypatch, tmp_path):
+    """GWT_JSCE_WEIGHTS pointing at a missing file must fail loudly, not
+    fall through to the packaged default (ADVICE r3)."""
+    monkeypatch.setenv("GWT_JSCE_WEIGHTS", str(tmp_path / "nope.npz"))
+    with pytest.raises(FileNotFoundError, match="GWT_JSCE_WEIGHTS"):
+        wt.default_checkpoint()
