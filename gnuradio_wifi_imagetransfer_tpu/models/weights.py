@@ -100,9 +100,14 @@ def default_checkpoint() -> Optional[str]:
         return override
     try:
         root = importlib.resources.files("gnuradio_wifi_imagetransfer_tpu")
-        p = root / "assets" / "jsce_soma_dscn.npz"
-        if p.is_file():
-            return str(p)
+        # prefer the reference-geometry checkpoint (240x240, c=128 ->
+        # (30,30,128) latent, the live demo config at
+        # upload_featuremap_udp.py:78-82); fall back to the 4x-smaller
+        # 80x80/c=64 checkpoint kept for fast tests
+        for name in ("jsce_soma_dscn_240.npz", "jsce_soma_dscn.npz"):
+            p = root / "assets" / name
+            if p.is_file():
+                return str(p)
     except Exception:
         pass
     return None

@@ -9,16 +9,27 @@ trained on random crops of the public-domain Kodak images, saved as a
 float16 npz small enough to commit
 (gnuradio_wifi_imagetransfer_tpu/assets/jsce_soma_dscn.npz).
 
-Default geometry: 80x80 images, compressed_channel 64 -> 10x10x64 latent,
-which tiles exactly into the Mode-1 UDP piece protocol's (10, 10, 1)
+Two geometries:
+
+  --geometry ref    240x240 images, compressed_channel 128 -> (30,30,128)
+                    latent -> 1152 pieces: the reference's LIVE demo
+                    config (upload_featuremap_udp.py:78-82,
+                    download_featuremap_udp.py:20-28). The packaged
+                    default (assets/jsce_soma_dscn_240.npz).
+  --geometry small  80x80 / c=64 -> 10x10x64 latent: a 4x-smaller
+                    checkpoint kept for fast tests
+                    (assets/jsce_soma_dscn.npz).
+
+Both tile exactly into the Mode-1 UDP piece protocol's (10, 10, 1)
 pieces (image_detach_rebuild.py:4). Training runs K optimizer steps per
 device dispatch (Trainer.train_steps lax.scan) so the tunneled TPU's
-per-dispatch overhead is amortized; full train state checkpoints to /tmp
-each report so a crashed tunnel resumes instead of restarting.
+per-dispatch overhead is amortized — batches cross the wire as uint8 and
+normalize on-device; full train state checkpoints to /tmp each report so
+a crashed tunnel resumes instead of restarting.
 
 Usage:
-  python make_weights.py                  # train (resumes /tmp state)
-  python make_weights.py --steps 8000
+  python make_weights.py                  # train ref geometry (resumes)
+  python make_weights.py --geometry small --steps 8000
   python make_weights.py --eval-only      # PSNR/SSIM table from the npz
   python make_weights.py --cpu            # force CPU backend
 """
@@ -34,17 +45,27 @@ import time
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
-ASSET = os.path.join(
-    REPO, "gnuradio_wifi_imagetransfer_tpu", "assets", "jsce_soma_dscn.npz")
-STATE = "/tmp/gwt_jsce_train_state.npz"
+GEOMETRIES = {
+    # name: (img, c, asset, batch, steps_per_dispatch, default_steps)
+    "ref": (240, 128, "jsce_soma_dscn_240.npz", 8, 8, 8000),
+    "small": (80, 64, "jsce_soma_dscn.npz", 8, 25, 20000),
+}
 TRAIN_IMAGES = ["kodim01", "kodim03", "kodim04", "kodim07", "kodim21"]
 HOLDOUT = "kodim23"
 TARGET_USERS = ["3-4", "13-10"]      # the reference's hard-coded Mode-1 users
-IMG = 80
-C = 64
 U = 2
-B = 8
-K = 25                               # optimizer steps per device dispatch
+# geometry-dependent globals, bound by _set_geometry()
+IMG, C, ASSET, B, K = None, None, None, None, None
+STATE = None
+
+
+def _set_geometry(name: str) -> int:
+    global IMG, C, ASSET, B, K, STATE
+    IMG, C, asset, B, K, steps = GEOMETRIES[name]
+    ASSET = os.path.join(
+        REPO, "gnuradio_wifi_imagetransfer_tpu", "assets", asset)
+    STATE = f"/tmp/gwt_jsce_train_state_{IMG}_{C}.npz"
+    return steps
 
 
 def _find_image(name: str) -> str:
@@ -64,8 +85,10 @@ def load_kodak(names):
             for n in names]
 
 
-def crops(rng, imgs, n, size=IMG):
+def crops(rng, imgs, n, size=None):
     """n random crops (n, size, size, 3) uint8 with flips."""
+    if size is None:
+        size = IMG               # bound by _set_geometry(), not at import
     out = np.empty((n, size, size, 3), np.uint8)
     for i in range(n):
         im = imgs[rng.integers(len(imgs))]
@@ -182,7 +205,9 @@ def eval_holdout(variables, n_crops=16, seed=123, save_grid=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=6000)
+    ap.add_argument("--geometry", choices=sorted(GEOMETRIES), default="ref")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="default: per-geometry (ref 8000, small 20000)")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--eval-only", action="store_true")
@@ -191,6 +216,9 @@ def main():
     ap.add_argument("--report-every", type=int, default=8,
                     help="dispatches between progress/checkpoint saves")
     args = ap.parse_args()
+    default_steps = _set_geometry(args.geometry)
+    if args.steps is None:
+        args.steps = default_steps
 
     import jax
 
@@ -209,7 +237,6 @@ def main():
     import optax
 
     from gnuradio_wifi_imagetransfer_tpu.models.somanet import SOMANet, pe_labels
-    from gnuradio_wifi_imagetransfer_tpu.models.jsce import normalize_image
     from gnuradio_wifi_imagetransfer_tpu.models.weights import save_soma_npz
     from gnuradio_wifi_imagetransfer_tpu.utils.trainer import Trainer
 
@@ -225,12 +252,15 @@ def main():
         print(f"resumed step {trainer.state.step} from {STATE}", flush=True)
 
     def batch_seq(k):
-        """(K, U, B, IMG, IMG, 3) normalized images + (K, U, 256) labels."""
-        imgs = np.empty((k, U, B, IMG, IMG, 3), np.float32)
+        """(K, U, B, IMG, IMG, 3) uint8 images + (K, U, 256) labels.
+        Pixels cross the tunnel as uint8 (4x less wire than float32 —
+        at ref geometry a float32 K-batch is ~60 MB); Trainer.train_steps
+        normalizes on-device."""
+        imgs = np.empty((k, U, B, IMG, IMG, 3), np.uint8)
         labs = np.empty((k, U, 256), np.float32)
         for i in range(k):
             for u in range(U):
-                imgs[i, u] = normalize_image(crops(rng, train_imgs, B))
+                imgs[i, u] = crops(rng, train_imgs, B)
             labs[i] = pe_labels(random_user_keys(rng, U))
         return imgs, labs
 
@@ -250,6 +280,7 @@ def main():
                  "batch_stats": trainer.state.batch_stats}
     table = eval_holdout(variables)
     meta = {
+        "geometry": args.geometry,
         "compressed_channel": C, "img_size": IMG, "users": TARGET_USERS,
         "steps": int(trainer.state.step), "lr": args.lr,
         "train_images": TRAIN_IMAGES, "holdout": HOLDOUT,
