@@ -58,9 +58,15 @@ class PhyConfig:
     min_plateau: int = 2               # sync_short min plateau (IRS_AP.py:268)
     sync_length: int = 320             # sync_long search window (IRS_AP.py:269)
     max_psdu_bytes: int = 800          # PHY buffer sizing assumption (wifi_phy_hier.grc:51)
+    # LMS/STA tracker gains: data-backed defaults from the fading-waterfall
+    # sweep (tune_equalizer.py, docs/equalizer_tuning.md, 2026-08-21).
+    # lms_mu = 0.5 minimized PER at every wander depth without regressing
+    # the static channel; STA wants heavy temporal but LIGHT carrier
+    # smoothing — beta 0.5 biases the estimate on frequency-selective
+    # channels (PER 0.28 vs 0.06 on mild fading), 0.125 dominates.
     lms_mu: float = 0.5                # LMS update gain (frame_equalizer algo=LMS)
     sta_alpha: float = 0.5             # STA smoothing across symbols
-    sta_beta: float = 0.5              # STA smoothing across carriers
+    sta_beta: float = 0.125            # STA smoothing across carriers
 
     @property
     def max_symbols(self) -> int:

@@ -209,12 +209,22 @@ def _make_sender_handler(app, n_images: int = 1):
         def do_GET(self):
             if _serve_static(self, self.path):
                 return
-            inputs = "".join(
-                f'<input type="file" name="image{i}"/><br/>' for i in range(n_images))
-            body = _template("sender.html").format(
-                title=type(app).__name__, inputs=inputs,
-                port=app.cfg.tx_port,
-                status="sending" if app.sender else "idle")
+            if isinstance(app, FeatureMapSenderApp):
+                # dedicated Mode-1 page with the reference's port input
+                # (featuremap_sender.html:104-105)
+                body = _template("featuremap_sender.html").format(
+                    title=type(app).__name__,
+                    user_a=app.TARGET[0], user_b=app.TARGET[1],
+                    port=app.cfg.tx_port,
+                    status="sending" if app.sender else "idle")
+            else:
+                inputs = "".join(
+                    f'<input type="file" name="image{i}"/><br/>'
+                    for i in range(n_images))
+                body = _template("sender.html").format(
+                    title=type(app).__name__, inputs=inputs,
+                    port=app.cfg.tx_port,
+                    status="sending" if app.sender else "idle")
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
             self.end_headers()
@@ -409,12 +419,14 @@ def _make_receiver_handler(app):
             if _serve_static(self, self.path):
                 return
             if self.path == "/":
-                controls = ""
                 if isinstance(app, FeatureMapReceiverApp):
-                    controls = (f'<p>user id: <input id="uid" value="{app.user_id}"/>'
-                                '<button onclick="fetch(\'/set_user?id=\'+document.getElementById(\'uid\').value, {method:\'POST\'})">set</button></p>')
-                body = _template("receiver.html").format(
-                    title=type(app).__name__, controls=controls)
+                    # dedicated Mode-1 page with the reference's user-id
+                    # input (featuremap_receiver.html:16)
+                    body = _template("featuremap_receiver.html").format(
+                        title=type(app).__name__, user_id=app.user_id)
+                else:
+                    body = _template("receiver.html").format(
+                        title=type(app).__name__, controls="")
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
                 self.end_headers()

@@ -78,6 +78,13 @@ def test_mode1_apps_direct_wire_and_set_user(jsce, images):
         rec_app = np.asarray(jsce.msg2img(receiver.feature_map, receiver.user_id))
         np.testing.assert_array_equal(rec_app, rec_direct)
 
+        # the dedicated Mode-1 page serves the reference's user-id input
+        # (featuremap_receiver.html:16)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{receiver.port}/", timeout=5) as r:
+            page = r.read().decode()
+        assert 'id="uid"' in page and "feature-map receiver" in page
+
         # /set_user switches the decoded user (featuremap_receiver.html:16)
         req = urllib.request.Request(
             f"http://127.0.0.1:{receiver.port}/set_user?id=13-10", method="POST")
@@ -132,6 +139,13 @@ def test_mode1_http_multipart_upload(jsce, images):
         with urllib.request.urlopen(req, timeout=30) as r:
             assert r.read() == b"sending"
         assert sender.sender is not None
+        # the dedicated Mode-1 page serves the reference's port input
+        # (featuremap_sender.html:104-105) and both TARGET users
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{sender.port}/", timeout=5) as r:
+            page = r.read().decode()
+        assert 'name="port"' in page and "feature-map sender" in page
+        assert "3-4" in page and "13-10" in page
         rx_sock.settimeout(10.0)
         data, _ = rx_sock.recvfrom(65536)       # pieces flow on the wire
         assert len(data) > 4
