@@ -1,5 +1,5 @@
 """Hot-path ops: FIR/polyphase resampler + Pallas TPU kernels
-(pallas_viterbi, pallas_fft, pallas_fir, pallas_sync)."""
+(pallas_viterbi, pallas_fir, pallas_sync)."""
 
 from gnuradio_wifi_imagetransfer_tpu.ops.resampler import (  # noqa: F401
     correct_sample_clock,

@@ -16,30 +16,12 @@ through one vectorized CP+rolloff pass.
 from __future__ import annotations
 
 import functools
-import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from gnuradio_wifi_imagetransfer_tpu.phy import params
-
-
-def _use_pallas() -> bool:
-    """Trace-time choice of the 64-pt transform backend.
-
-    Default: the Pallas MXU-matmul kernel (ops/pallas_fft.py) on TPU
-    backends, jnp.fft elsewhere. Override with GWT_PALLAS_FFT=0/1.
-    """
-    flag = os.environ.get("GWT_PALLAS_FFT")
-    if flag is not None:
-        return flag not in ("0", "false", "")
-    # hardware-validated 2026-08-20 on a v5e chip: matches the shifted
-    # jnp.fft oracle to 2.5e-7 rel, but runs at parity (22.9 vs 25.6
-    # Msym/s fwd, 26.7 vs 26.5 inv at 16k-symbol batches) — XLA's fused
-    # fft lowering is already MXU-shaped at n=64, so the kernel stays
-    # opt-in; it exists as the fallback if a future XLA regresses
-    return False
 
 
 def allocate_carriers(data_syms: jnp.ndarray, symbol_index0: int | jnp.ndarray = 0) -> jnp.ndarray:
@@ -64,10 +46,6 @@ def allocate_carriers(data_syms: jnp.ndarray, symbol_index0: int | jnp.ndarray =
 def ifft_symbols(freq_syms: jnp.ndarray) -> jnp.ndarray:
     """Shifted-order spectra -> 64-sample time symbols with the reference's
     unnormalized-IFFT * 1/sqrt(52) scaling."""
-    if _use_pallas():
-        from gnuradio_wifi_imagetransfer_tpu.ops import pallas_fft
-
-        return pallas_fft.ifft64(freq_syms)
     return (
         jnp.fft.ifft(jnp.fft.ifftshift(freq_syms, axes=-1), axis=-1)
         * params.IFFT_SCALE
@@ -79,11 +57,14 @@ def fft_symbols(time_syms: jnp.ndarray) -> jnp.ndarray:
 
     Matches RX fft_vcc(64, forward, rect, shift) (IRS_AP.py:273) up to the
     TX normalization: fft_symbols(ifft_symbols(X)) == X.
-    """
-    if _use_pallas():
-        from gnuradio_wifi_imagetransfer_tpu.ops import pallas_fft
 
-        return pallas_fft.fft64(time_syms)
+    Backend note: XLA's own fft lowering wins at n=64 on TPU — measured
+    twice on v5e hardware against an MXU-matmul DFT (2026-08-20: 25.6 vs
+    22.9 Msym/s; 2026-08-21: 306 vs 275 Msym/s at 16k-symbol batches,
+    marginal-rate method). A Pallas matmul-DFT kernel shipped opt-in in
+    round 3 and was deleted in round 4 as inventory-not-capability
+    (VERDICT r3 item 7) — don't re-add one without a recorded win.
+    """
     return (
         jnp.fft.fftshift(jnp.fft.fft(time_syms, axis=-1), axes=-1)
         / params.IFFT_SCALE
