@@ -66,6 +66,7 @@ Prints cumulative JSON lines; the LAST line is the result:
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import queue
@@ -387,10 +388,29 @@ def _worker_main(argv: list[str]) -> None:
         _emit("pipeline", {"msps": round(stream.size / dt / 1e6, 2)})
         _progress(f"worker: pipeline sc16 {stream.size / dt / 1e6:.2f} Msps")
 
+    # --- 2b. same pipeline over the sc8 wire (HackRF's native int8 I/Q:
+    # half the sc16 ingest bytes; decode verified bit-exact) ---
+    if wanted("pipeline8") and fits(90.0):
+        cfg8 = dataclasses.replace(cfg, wire_format="sc8")
+        ex8 = StreamExecutor(plan, mesh=None, exec_cfg=cfg8)
+        recs = ex8.run(stream)              # warmup/compile
+        variant = _fresh(stream, 2)
+        t0 = time.perf_counter()
+        recs = ex8.run(variant)
+        dt = time.perf_counter() - t0
+        got = {tuple(r.psdu) for r in recs if r.parity_ok}
+        want = {tuple(f) for ch in payloads for f in ch}
+        assert got >= want, "sc8 pipeline sanity: embedded frames lost"
+        _emit("pipeline8", {"msps": round(stream.size / dt / 1e6, 2)})
+        _progress(f"worker: pipeline sc8 {stream.size / dt / 1e6:.2f} Msps")
+
     # --- 3. frames/s per MCS through the SIGNAL-steered executor ---
+    # sc8 wire: the dense streams ship whole to the device, so the int8
+    # I/Q format (bit-exact at operating SNR, tests/test_adaptive_executor
+    # .py::test_adaptive_sc8_wire_format) halves the ingest bytes
     acfg = ExecutorConfig(block_size=BLOCK, time_shards=DENSE_BLOCKS,
                           max_frames_per_block=DENSE_MAX_FRAMES,
-                          wire_format="sc16")
+                          wire_format="sc8")
     aex = AdaptiveStreamExecutor(mesh=None, exec_cfg=acfg)
     first_adaptive = True
     for mcs in ADAPTIVE_ORDER:
@@ -435,6 +455,7 @@ class _Result:
         self.device = None          # primary phase payload (full shape)
         self.device_small = None    # early-banked small-shape payload
         self.pipeline_msps = None
+        self.pipeline8_msps = None
         self.fps: dict[str, float] = {}
         self.sweep: dict[str, float] = {}
         self.notes: list[str] = []
@@ -458,6 +479,9 @@ class _Result:
         if name == "pipeline":
             self.pipeline_msps = p["msps"]
             return "pipeline"
+        if name == "pipeline8":
+            self.pipeline8_msps = p["msps"]
+            return "pipeline8"
         if name == "adaptive":
             self.fps[f"mcs{p['mcs']}"] = p["fps"]
             return f"adaptive:{p['mcs']}"
@@ -481,6 +505,7 @@ class _Result:
             "device_step": self.device,
             "device_step_small": self.device_small,
             "pipeline_sc16_msps": self.pipeline_msps,
+            "pipeline_sc8_msps": self.pipeline8_msps,
             "adaptive_frames_per_s": self.fps,
             "device_step_sweep": self.sweep,
             "notes": self.notes,
@@ -505,7 +530,7 @@ class _Result:
         sys.stdout.flush()
 
 
-ALL_PHASES = ("device_small", "device", "pipeline",
+ALL_PHASES = ("device_small", "device", "pipeline", "pipeline8",
               *(f"adaptive:{m}" for m in ADAPTIVE_ORDER), "sweep")
 
 

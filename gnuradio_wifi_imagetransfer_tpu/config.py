@@ -89,9 +89,14 @@ class ExecutorConfig:
     channels: int = 1                  # parallel 20 MHz channels (mesh axis "channel")
     time_shards: int = 1               # time-block shards (mesh axis "time")
     wire_format: str = "f32"           # host->device sample format: "f32"
-                                       # (float32 I/Q) or "sc16" (int16 I/Q,
+                                       # (float32 I/Q), "sc16" (int16 I/Q,
                                        # UHD's native over-the-wire format —
-                                       # half the ingest bytes)
+                                       # half the ingest bytes), or "sc8"
+                                       # (int8 I/Q, the HackRF's native ADC
+                                       # format, IRS_user.py:161-173 — a
+                                       # quarter of the ingest bytes;
+                                       # ~44 dB SNR floor, comfortably
+                                       # above 64-QAM 3/4's ~26 dB need)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -57,7 +57,7 @@ from gnuradio_wifi_imagetransfer_tpu.phy.tx import TxPlan
 from gnuradio_wifi_imagetransfer_tpu.utils.xfer import (
     from_riq,
     from_wire,
-    quantize_sc16,
+    quantize_wire,
     to_riq,
 )
 
@@ -192,10 +192,7 @@ class _StreamExecutorBase:
         np_len = HALO_LEFT + n_sup * span + self._resident_right_pad()
         buf = np.zeros((c, np_len), dtype=np.complex64)
         buf[:, HALO_LEFT : HALO_LEFT + n] = x
-        wire = to_riq(buf)
-        if self.cfg.wire_format == "sc16":
-            wire = quantize_sc16(wire)
-        return wire
+        return quantize_wire(to_riq(buf), self.cfg.wire_format)
 
     def _build_sharded_step(self, mesh: Mesh):
         t = mesh.shape["time"]
@@ -249,9 +246,8 @@ class _StreamExecutorBase:
     def _ingest_mesh(self, stream: np.ndarray, offset: int, span: int):
         c = stream.shape[0]
         with self.tracer.stage("layout", samples=c * span):
-            blocks = to_riq(self._layout(stream, offset))
-            if self.cfg.wire_format == "sc16":
-                blocks = quantize_sc16(blocks)
+            blocks = quantize_wire(to_riq(self._layout(stream, offset)),
+                                   self.cfg.wire_format)
         with self.tracer.stage("transfer", samples=c * span):
             blocks = jax.device_put(
                 blocks, NamedSharding(self.mesh, P("channel", "time")))
@@ -770,9 +766,7 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
             for i, cand in enumerate(bucket):
                 raw[i] = self._cut_window(
                     stream, cand.channel, cand.global_start, wlen)
-            wire = to_riq(raw)
-            if self.cfg.wire_format == "sc16":
-                wire = quantize_sc16(wire)
+            wire = quantize_wire(to_riq(raw), self.cfg.wire_format)
             packed = fn(jnp.asarray(wire), jnp.asarray(cfo),
                         jnp.asarray(fstart))
         return bucket, plan, ln, packed

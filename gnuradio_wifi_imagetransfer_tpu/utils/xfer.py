@@ -47,12 +47,38 @@ def quantize_sc16(riq: np.ndarray) -> np.ndarray:
     return np.clip(np.round(riq * k), -32768, 32767).astype(np.int16)
 
 
+# "sc8" wire format: int8 I/Q pairs, the native ADC sample format of the
+# HackRF (the reference's TX hardware, IRS_user.py:161-173) — a quarter
+# of the float32 ingest bytes. Full scale 2.0 leaves 4x amplitude
+# headroom over the 0.5-scaled TX bursts; quantization noise is
+# ~44 dB below a 0.5-amplitude signal, far under the 64-QAM 3/4
+# operating point (~26 dB) and below the loopback noise floor.
+SC8_FULL_SCALE = 2.0
+
+
+def quantize_sc8(riq: np.ndarray) -> np.ndarray:
+    """Host-side: float32 (..., 2) riq -> int8 (..., 2) wire samples."""
+    k = 127.0 / SC8_FULL_SCALE
+    return np.clip(np.round(riq * k), -128, 127).astype(np.int8)
+
+
+def quantize_wire(riq: np.ndarray, wire_format: str) -> np.ndarray:
+    """Host-side: apply the configured wire format to float32 riq pairs."""
+    if wire_format == "sc16":
+        return quantize_sc16(riq)
+    if wire_format == "sc8":
+        return quantize_sc8(riq)
+    return riq
+
+
 def from_wire(x) -> "jnp.ndarray":
-    """Device-side (inside jit): riq pairs in either wire format ->
+    """Device-side (inside jit): riq pairs in any wire format ->
     complex64. jit specializes on the input dtype, so the same traced
-    function serves both paths."""
+    function serves all paths."""
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) * (SC16_FULL_SCALE / 32767.0)
+    elif x.dtype == jnp.int8:
+        x = x.astype(jnp.float32) * (SC8_FULL_SCALE / 127.0)
     return from_riq(x)
 
 

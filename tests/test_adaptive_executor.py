@@ -175,3 +175,24 @@ def test_capture_symbols_constellation():
         block_size=1 << 13, time_shards=2, max_frames_per_block=4))
     recs2 = [r for r in ex2.run(x[None]) if r.parity_ok]
     assert recs2 and recs2[0].eq_symbols is None
+
+
+def test_adaptive_sc8_wire_format():
+    """SIGNAL steering + stage-B payload decode over the int8 wire."""
+    rng = np.random.default_rng(5)
+    n = 1 << 16
+    x = np.zeros(n, np.complex64)
+    specs = [(700, 2, rng.integers(0, 256, 50, dtype=np.uint8)),
+             (34000, 7, rng.integers(0, 256, 120, dtype=np.uint8))]
+    for i, (pos, mcs, payload) in enumerate(specs):
+        b = np.asarray(tx.transmit(jnp.asarray(payload)[None], mcs,
+                                   scrambler_seed=i + 1))[0]
+        x[pos : pos + b.size] += 0.5 * b
+    x += 0.004 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+                  ).astype(np.complex64)
+    ex = AdaptiveStreamExecutor(exec_cfg=ExecutorConfig(
+        block_size=1 << 14, time_shards=4, max_frames_per_block=4,
+        wire_format="sc8"))
+    got = {(r.rate_idx, tuple(r.psdu)) for r in ex.run(x[None]) if r.parity_ok}
+    for pos, mcs, payload in specs:
+        assert (mcs, tuple(payload)) in got
