@@ -296,7 +296,13 @@ class Trainer:
         images_seq may be uint8 (raw pixels): normalization then runs
         inside the jitted scan — at 240x240 reference geometry a float32
         K-step batch is ~280 MB on the wire; uint8 is 4x smaller and the
-        ImageNet normalize (jsce_codec.py:78-83) is free on-device."""
+        ImageNet normalize (jsce_codec.py:78-83) is free on-device.
+
+        Use K >= 8. Measured on the tunneled v5e (2026-08-21): the K=8
+        scan runs ~115 ms/step, but the K=1 program — which XLA unrolls,
+        losing the loop's conv layout assignment — runs 30-45 s per
+        call at reference geometry. Single-step training should call
+        train_step(), not a length-1 scan."""
         if mode not in self.MODES:
             raise ValueError(f"mode must be one of {self.MODES}, got {mode!r}")
         if mode == "distill" and self.teacher_vars is None:

@@ -14,10 +14,13 @@ from gnuradio_wifi_imagetransfer_tpu.models import weights as wt
 
 def test_packaged_checkpoint_exists_and_loads():
     path = wt.default_checkpoint()
-    assert path is not None, "assets/jsce_soma_dscn.npz missing from package"
+    assert path is not None, "packaged JSCE checkpoint missing"
     variables, meta = wt.load_soma_npz(path)
-    assert meta["compressed_channel"] == 64
-    assert meta["img_size"] == 80
+    # reference demo geometry (preferred) or the small fast-test one
+    assert (meta["compressed_channel"], meta["img_size"]) in {
+        (128, 240),      # upload_featuremap_udp.py:78-82 live config
+        (64, 80),
+    }
     assert meta["users"] == ["3-4", "13-10"]
     # the committed metadata records the held-out quality measured at save
     for u in meta["users"]:
