@@ -95,8 +95,10 @@ def test_mode1_trained_codec_over_phy_reconstructs():
     jsce = JSCE.packaged()
     hw = jsce.img_size[0]
     img = np.asarray(Image.open("assets/kodim23.png").convert("RGB"))
-    crops = {"3-4": img[200:200 + hw, 300:300 + hw],
-             "13-10": img[260:260 + hw, 100:100 + hw]}
+    # the committed kodim23 is 500x500: keep crops inside both axes at
+    # either checkpoint geometry (hw = 240 reference / 80 small)
+    crops = {"3-4": img[10:10 + hw, 20:20 + hw],
+             "13-10": img[250:250 + hw, 240:240 + hw]}
     latent = jsce.img2msg(crops)
     assert latent.shape == (hw // 8, hw // 8, jsce.c)
 

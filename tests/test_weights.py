@@ -54,20 +54,23 @@ def test_packaged_weights_reconstruct_above_random_init():
     from gnuradio_wifi_imagetransfer_tpu.models.jsce import JSCE
     from gnuradio_wifi_imagetransfer_tpu.utils.metrics import psnr
 
+    trained = JSCE.packaged()
+    hw, c = trained.img_size[0], trained.c
     img = np.asarray(Image.open("assets/kodim23.png").convert("RGB"))
     rng = np.random.default_rng(5)
     crops = {}
     for u in ("3-4", "13-10"):
-        y, x = rng.integers(img.shape[0] - 80), rng.integers(img.shape[1] - 80)
-        crops[u] = img[y : y + 80, x : x + 80]
+        y, x = rng.integers(img.shape[0] - hw), rng.integers(img.shape[1] - hw)
+        crops[u] = img[y : y + hw, x : x + hw]
 
-    trained = JSCE.packaged()
     latent = trained.img2msg(crops)
-    assert latent.shape == (10, 10, 64)     # tiles (10,10,1) Mode-1 pieces
+    # tiles exactly into the Mode-1 (10,10,1) piece protocol
+    assert latent.shape == (hw // 8, hw // 8, c)
+    assert latent.shape[0] % 10 == 0
     trained_psnr = {u: psnr(np.asarray(trained.msg2img(latent, u)), crops[u])
                     for u in crops}
 
-    rand = JSCE(img_size=(80, 80), compressed_channel=64, rng_seed=3)
+    rand = JSCE(img_size=(hw, hw), compressed_channel=c, rng_seed=3)
     latent_r = rand.img2msg(crops)
     rand_psnr = {u: psnr(np.asarray(rand.msg2img(latent_r, u)), crops[u])
                  for u in crops}
