@@ -90,6 +90,31 @@ def decode_aligned(
     carries them; the reference's frame_equalizer hard-codes its gains).
     """
     ltf1, ltf2, spectra = frame_spectra(samples, plan.n_sym, start)
+    return decode_spectra(ltf1, ltf2, spectra, plan, algo=algo,
+                          lms_mu=lms_mu, sta_alpha=sta_alpha,
+                          sta_beta=sta_beta)
+
+
+def decode_spectra(
+    ltf1: jnp.ndarray,
+    ltf2: jnp.ndarray,
+    spectra: jnp.ndarray,
+    plan: TxPlan,
+    algo: ChannelEstimator = ChannelEstimator.LS,
+    lms_mu: float = 0.5,
+    sta_alpha: float = 0.5,
+    sta_beta: float = 0.5,
+) -> RxResult:
+    """Decode from already-demodulated spectra: LTF estimates (..., 64),
+    SIGNAL+data spectra (..., 1+n_sym, 64). The tail of decode_aligned,
+    exposed for callers that produce spectra without the window path.
+
+    Note: a "fused gather" executor variant (skip window extraction,
+    gather only LTF+symbol bodies from the raw block) was built and
+    MEASURED SLOWER on v5e (876-893 vs 989 Msps full RX step,
+    2026-08-21) — the scattered big-block gather loses to the two-stage
+    window locality — and removed; don't rebuild it without a recorded
+    win."""
     h0 = equalizer.ls_estimate(ltf1, ltf2)
     eq, csi = equalizer.equalize(spectra, h0, symbol_index0=0, algo=algo,
                                  mcs=plan.mcs, lms_mu=lms_mu,
