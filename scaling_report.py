@@ -185,6 +185,58 @@ def run_pod64() -> dict:
     raise RuntimeError(out.stdout[-2000:])
 
 
+PREDICTED_SECTION = """## Predicted pod-scale efficiency (falsifiable numbers for real hardware)
+
+The >=85% BASELINE claim can be checked against arithmetic, not just the
+CPU-contention-bound rows above. Halo traffic is static and computable
+(VERDICT r3 item 9); all numbers below are for the flagship bench
+configuration — fixed-plan MCS2/50-byte frames, 262144-sample blocks per
+time shard, complex64 on the inter-shard wire:
+
+  halo_right = window_len(n_sym=9) = 1440 samples
+  HALO_LEFT  = 256 samples
+  per-shard ppermute traffic/step = C_local x (256 + 1440) x 8 B
+      = 13.6 kB   (C_local = 1)
+      = 54.3 kB   (C_local = 4, the bench's channel count)
+
+Per-chip compute per step at the measured single-chip rate
+(1024 Msamples/s, BENCH_r04 / bench_runs/2026-08-21_v5e_flatbatch.json):
+
+  t_comp = 262144 x C_local / 1024e6 = 0.26 ms (C_local=1) .. 1.0 ms (C_local=4)
+
+Predicted exchange cost per step:
+
+| link | assumed eff. bandwidth | t_halo (C_local=4) | halo/compute |
+|---|---|---|---|
+| ICI (v5e intra-slice) | 100 GB/s | 0.5 us | 0.05% |
+| DCN (host<->host)     | 6 GB/s + 100 us latency | 109 us | 10.6% of t_comp — but only the ONE seam pair between hosts pays it, overlapped with the other shards' compute |
+
+So for a 2-host v5e run with >=4 time shards per host, the halo math
+predicts >=97% weak-scaling efficiency (the interior shards' exchanges
+ride ICI at ~0.05% overhead; the single DCN seam adds ~10% to one shard
+pair's step, amortized 1/(shards) into the aggregate). The >=85% BASELINE
+bar therefore leaves ~12 points of margin for jax.distributed step
+coordination — the term this container cannot measure honestly.
+
+Falsifiable prediction for a real pod run of scaling_report.py:
+  * 2 hosts, 1 process/host, time axis across hosts, block 262144,
+    C_local=4: aggregate >= 1.94x one host (>=97%).
+  * If measured efficiency lands below 85%, the gap is coordination/
+    dispatch (profile the per-step barrier), NOT halo bandwidth — halo
+    bytes are 5 orders of magnitude under the DCN budget at these block
+    sizes.
+  * Halo traffic scales linearly with C_local and with (HALO_LEFT +
+    window_len(n_sym)); even the worst legal frame (MCS0 at 800 B,
+    window 22160 samples -> 0.7 MB/shard/step at C_local=4) stays under
+    0.2 ms of DCN time — efficiency predictions move by <2 points.
+
+The adaptive executor's stage A exchanges only SIGNAL-sized halos
+(560 - 160 = 400 + 256 samples -> 21 kB/shard/step at C_local=4), cheaper
+than the fixed-plan case; its stage B crosses no shard boundary at all
+(windows gather from the host- or device-resident stream).
+"""
+
+
 def main():
     import tempfile
 
@@ -258,7 +310,8 @@ def main():
             "loopback sharing cores with compute, so the efficiency floor\n"
             "here is dominated by coordination overhead that a real pod's\n"
             "dedicated DCN NICs do not pay; the >=85% BASELINE claim is to\n"
-            "be validated by running this script on real multi-host TPU.\n")
+            "be validated by running this script on real multi-host TPU.\n\n")
+        f.write(PREDICTED_SECTION)
     print("wrote SCALING.md")
 
 
