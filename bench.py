@@ -149,18 +149,24 @@ for mcs in range(8):
 
 # --- mixed-MCS dense stream: rotates through all 8 rates frame by frame
 # (the hard case for SIGNAL steering: every super-block fans out into 8
-# per-(rate,length) stage-B buckets)
+# per-(rate,length) stage-B buckets). Transmit in per-MCS batches — a
+# per-frame loop costs minutes of the bench budget on a cold cache.
 n = DENSE_BLOCKS * BLOCK
 burst_max = max(tx.tx_plan(m, PSDU_LEN).n_samples for m in range(8))
 spacing = max(burst_max + 500, BLOCK // DENSE_MAX_FRAMES + 1)
-positions = list(range(300, n - burst_max - 800, spacing))
+positions = np.array(range(300, n - burst_max - 800, spacing))
 mcs_seq = np.arange(len(positions)) % 8
 frames = rng.integers(0, 256, (len(positions), PSDU_LEN), dtype=np.uint8)
 x = np.zeros(n, np.complex64)
-for i, (pos, m) in enumerate(zip(positions, mcs_seq)):
-    b = np.array(tx.transmit(jnp.asarray(frames[i : i + 1]), int(m),
-                             scrambler_seed=jnp.asarray([i % 127 + 1])))[0]
-    x[pos : pos + b.size] += 0.5 * b
+for m in range(8):
+    sel = np.flatnonzero(mcs_seq == m)
+    if not sel.size:
+        continue
+    bursts = np.array(tx.transmit(
+        jnp.asarray(frames[sel]), int(m),
+        scrambler_seed=jnp.asarray(sel % 127 + 1)))
+    for pos, b in zip(positions[sel], bursts):
+        x[pos : pos + b.size] += 0.5 * b
 x += 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
 out["mixed"] = x.astype(np.complex64)
 out["mixed_payloads"] = frames
