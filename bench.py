@@ -694,7 +694,9 @@ def main() -> None:
         stall = max(first_slice if attempt == 0 else 180.0, 60.0)
         done = _run_worker([], tuple(remaining), res, deadline, stall_s=stall)
         remaining = [p for p in remaining if p not in done]
-        if not done:
+        if done:
+            zero_progress = 0            # "in a row" means consecutive
+        else:
             zero_progress += 1
             if zero_progress >= 3:
                 break        # three fresh workers in a row died with nothing

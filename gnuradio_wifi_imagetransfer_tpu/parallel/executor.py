@@ -287,9 +287,9 @@ class _StreamExecutorBase:
         span = t * self.block
         if self.mesh is not None:
             # overlap strides by the halo total so every interior seam is
-            # re-scanned with true context; floor of 1 keeps time=1 meshes
-            # (span == block) overlapping rather than skipping straddles
-            stride = max(1, span - (self.halo_right + HALO_LEFT))
+            # re-scanned with true context (always positive: _init_common
+            # rejects spans that don't exceed the halo total)
+            stride = span - (self.halo_right + HALO_LEFT)
         else:
             stride = span
             self._stage_resident(stream)
@@ -466,8 +466,11 @@ class StreamExecutor(_StreamExecutorBase):
         stream = np.atleast_2d(stream)
         n = stream.shape[1]
         records: dict[tuple[int, int], FrameRecord] = {}
-        for offset, outs, span in self._stepped(stream):
-            self._collect(offset, outs, n, span, records)
+        try:
+            for offset, outs, span in self._stepped(stream):
+                self._collect(offset, outs, n, span, records)
+        finally:
+            self._dev_stream = None        # release the resident HBM copy
         return sorted(records.values(), key=lambda r: (r.channel, r.global_start))
 
 
@@ -821,19 +824,39 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
 
         All device work is dispatched ahead of any fetch: stage B of
         super-block k overlaps stage A of k+1 on the device queue, and
-        bucket results are fetched only after the whole stream has been
-        dispatched — as ONE combined fetch when several buckets are
-        pending (each device->host fetch costs a full round trip on a
-        tunneled chip: 8-bucket mixed-rate traffic would otherwise spend
-        ~85% of its wall time fetching)."""
+        bucket results are fetched lazily — as ONE combined fetch per
+        drain when several buckets are pending (each device->host fetch
+        costs a full round trip on a tunneled chip: 8-bucket mixed-rate
+        traffic would otherwise spend ~85% of its wall time fetching).
+        In-flight buckets are bounded (drained every MAX_PENDING_BUCKETS)
+        so device memory and the concat program's operand count stay
+        O(1) in stream length."""
         stream = np.atleast_2d(np.ascontiguousarray(stream, dtype=np.complex64))
         n = stream.shape[1]
         seen: set[tuple[int, int]] = set()
         pending: list = []
-        for offset, outs, span in self._stepped(stream):
-            cands = self._collect_candidates(offset, outs, n, span, seen)
-            pending.extend(self._stage_b_dispatch(stream, cands))
         records: list[FrameRecord] = []
+        try:
+            for offset, outs, span in self._stepped(stream):
+                cands = self._collect_candidates(offset, outs, n, span, seen)
+                pending.extend(self._stage_b_dispatch(stream, cands))
+                if len(pending) >= self.MAX_PENDING_BUCKETS:
+                    self._drain(pending, records)
+            self._drain(pending, records)
+        finally:
+            self._dev_stream = None        # release the resident HBM copy
+        return sorted(records, key=lambda r: (r.channel, r.global_start))
+
+    # drain threshold: far above any one super-block's bucket fan-out
+    # (8 rates x a few lengths) yet small enough that in-flight packed
+    # rows and the combined-fetch concat stay bounded on long streams
+    MAX_PENDING_BUCKETS = 64
+
+    def _drain(self, pending: list, records: list) -> None:
+        """Fetch every pending bucket (one combined round trip when more
+        than one is in flight) and append their frame records."""
+        if not pending:
+            return
         with self.tracer.stage("stage_b_fetch", frames=len(pending)):
             if len(pending) > 1:
                 # one tiny on-device concat program -> one fetch for all
@@ -849,6 +872,5 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
                     records.extend(self._finish_bucket(
                         (p[0], p[1], p[2], packed)))
             else:
-                for p in pending:
-                    records.extend(self._finish_bucket(p))
-        return sorted(records, key=lambda r: (r.channel, r.global_start))
+                records.extend(self._finish_bucket(pending[0]))
+        pending.clear()

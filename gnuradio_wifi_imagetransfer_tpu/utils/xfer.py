@@ -63,12 +63,17 @@ def quantize_sc8(riq: np.ndarray) -> np.ndarray:
 
 
 def quantize_wire(riq: np.ndarray, wire_format: str) -> np.ndarray:
-    """Host-side: apply the configured wire format to float32 riq pairs."""
+    """Host-side: apply the configured wire format to float32 riq pairs.
+    Unknown formats raise — a typo silently shipping f32 would defeat the
+    bytes the caller asked to save."""
     if wire_format == "sc16":
         return quantize_sc16(riq)
     if wire_format == "sc8":
         return quantize_sc8(riq)
-    return riq
+    if wire_format == "f32":
+        return riq
+    raise ValueError(
+        f"unknown wire_format {wire_format!r}: expected f32, sc16 or sc8")
 
 
 def from_wire(x) -> "jnp.ndarray":

@@ -176,3 +176,11 @@ def test_sc8_wire_format_bit_exact(payloads):
         block_size=1 << 14, time_shards=4, max_frames_per_block=4,
         wire_format="sc8"))
     _check(ex.run(x[None]), frames, positions)
+
+
+def test_unknown_wire_format_raises(payloads):
+    """A typo'd wire_format must fail loudly, not silently ship f32."""
+    from gnuradio_wifi_imagetransfer_tpu.utils.xfer import quantize_wire
+
+    with pytest.raises(ValueError, match="wire_format"):
+        quantize_wire(np.zeros((4, 2), np.float32), "sc-8")

@@ -68,7 +68,7 @@ def build_scenarios(n_frames: int):
     psdu = rng.integers(0, 256, (n_frames, PSDU_L), dtype=np.uint8)
     bursts = np.array(tx.transmit(
         jnp.asarray(psdu), MCS,
-        scrambler_seed=jnp.arange(1, n_frames + 1) % 127))
+        scrambler_seed=jnp.arange(n_frames) % 127 + 1))
     scen = {}
     for name, wander in (("fade_deep", 0.5), ("fade_mild", 0.25),
                          ("static", 0.0)):
