@@ -76,11 +76,22 @@ def _pack_f32(parts: list[jnp.ndarray]) -> jnp.ndarray:
 
 @jax.jit
 def _concat_packed(parts: tuple) -> jnp.ndarray:
-    """Ravel + concatenate N device arrays into one fetchable vector
-    (retraces per tuple of shapes — recurring traffic mixes hit the jit
-    cache). Used to fetch every pending stage-B bucket in one round
-    trip."""
+    """Ravel + concatenate N device arrays into one fetchable vector.
+    Used to fetch every pending stage-B bucket in one round trip.
+
+    Callers canonicalize the signature first (_ravel_pad to a power-of-two
+    size, sorted descending), so the jit cache sees multisets of ~25
+    possible pow2 lengths instead of one program per raw (b_pad, row_len)
+    traffic mix — bounding cache growth on long-lived diverse streams
+    (ADVICE r4)."""
     return jnp.concatenate([jnp.ravel(p) for p in parts])
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _ravel_pad(x, size: int):
+    """Ravel one packed bucket and zero-pad to a canonical pow2 length."""
+    flat = jnp.ravel(x)
+    return jnp.pad(flat, (0, size - flat.shape[0]))
 
 
 @dataclasses.dataclass
@@ -126,12 +137,15 @@ class _StreamExecutorBase:
             # silent total frame loss, ADVICE r3). Demand real progress.
             span = mesh.shape["time"] * self.block
             if span - (self.halo_right + HALO_LEFT) <= 0:
+                min_block = -(-(self.halo_right + HALO_LEFT + 1)
+                              // mesh.shape["time"])
                 raise ValueError(
                     f"mesh-mode span {span} (time={mesh.shape['time']} x "
                     f"block_size={self.block}) must exceed halo_right + "
                     f"HALO_LEFT = {self.halo_right} + {HALO_LEFT}: frames "
                     f"need that much context, so no stride would own a "
-                    f"trusted interval — raise block_size or time shards")
+                    f"trusted interval — use block_size >= {min_block} at "
+                    f"this shard count, or more time shards")
             self._step = self._build_sharded_step(mesh)
         else:
             self._step = self._build_local_step()
@@ -194,14 +208,21 @@ class _StreamExecutorBase:
         the resident local path: HALO_LEFT zeros in front (statistics
         warm-up / extraction margin before sample 0), zeros behind out to
         the last super-block's full extent plus the largest on-device
-        window. All vector ops — no per-shard copy loop."""
+        window. Quantizes per channel straight into the wire buffer, so
+        the transient host allocation is one channel's riq copy instead
+        of a full padded complex64 image of the stream (ADVICE r4)."""
         c, n = x.shape
         span = self.cfg.time_shards * self.block
         n_sup = max(1, -(-n // span))
         np_len = HALO_LEFT + n_sup * span + self._resident_right_pad()
-        buf = np.zeros((c, np_len), dtype=np.complex64)
-        buf[:, HALO_LEFT : HALO_LEFT + n] = x
-        return quantize_wire(to_riq(buf), self.cfg.wire_format)
+        dt = {"f32": np.float32, "sc16": np.int16, "sc8": np.int8}[
+            self.cfg.wire_format]
+        out = np.zeros((c, np_len, 2), dtype=dt)
+        for ch in range(c):
+            # to_riq of a contiguous complex64 row is a zero-copy view
+            out[ch, HALO_LEFT : HALO_LEFT + n] = quantize_wire(
+                to_riq(np.ascontiguousarray(x[ch])), self.cfg.wire_format)
+        return out
 
     def _build_sharded_step(self, mesh: Mesh):
         t = mesh.shape["time"]
@@ -518,10 +539,13 @@ def _pack_bucket_rows(r, plan, capture_symbols):
     return jnp.concatenate(parts, axis=-1)
 
 
+_EQ_DEFAULTS = (PhyConfig().lms_mu, PhyConfig().sta_alpha, PhyConfig().sta_beta)
+
+
 @functools.lru_cache(maxsize=64)
 def _stage_b_fn(mcs: int, psdu_len: int, algo: int,
                 capture_symbols: bool = False,
-                eq_params: tuple[float, float, float] = (0.5, 0.5, 0.5)):
+                eq_params: tuple[float, float, float] = _EQ_DEFAULTS):
     """jitted payload decode for one (MCS, length) bucket from HOST-cut
     windows (the mesh path): raw windows + total CFO + alignment -> packed
     rows (see _pack_bucket_rows)."""
@@ -545,7 +569,7 @@ def _stage_b_fn(mcs: int, psdu_len: int, algo: int,
 @functools.lru_cache(maxsize=64)
 def _stage_b_fn_resident(mcs: int, psdu_len: int, algo: int,
                          capture_symbols: bool = False,
-                         eq_params: tuple[float, float, float] = (0.5, 0.5, 0.5)):
+                         eq_params: tuple[float, float, float] = _EQ_DEFAULTS):
     """jitted payload decode for one (MCS, length) bucket gathering its
     windows ON-DEVICE from the resident padded wire stream (local mode):
     only per-candidate scalars (channel, padded origin, CFO, alignment)
@@ -860,15 +884,21 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
         with self.tracer.stage("stage_b_fetch", frames=len(pending)):
             if len(pending) > 1:
                 # one tiny on-device concat program -> one fetch for all
-                # buckets; compiled per tuple-of-shapes (recurring traffic
-                # mixes hit the jit cache)
-                flat = np.asarray(_concat_packed(
-                    tuple(p[3] for p in pending)))
+                # buckets. The concat signature is canonicalized (each
+                # bucket zero-padded to a pow2 length, sorted descending)
+                # so diverse long-lived traffic compiles O(few) concat
+                # programs instead of one per (b_pad, row_len) mix.
+                sizes = [int(np.prod(p[3].shape)) for p in pending]
+                pad_sizes = [1 << max(s - 1, 0).bit_length() for s in sizes]
+                order = sorted(range(len(pending)),
+                               key=lambda i: -pad_sizes[i])
+                flat = np.asarray(_concat_packed(tuple(
+                    _ravel_pad(pending[i][3], pad_sizes[i]) for i in order)))
                 off = 0
-                for p in pending:
-                    size = int(np.prod(p[3].shape))
-                    packed = flat[off : off + size].reshape(p[3].shape)
-                    off += size
+                for i in order:
+                    p = pending[i]
+                    packed = flat[off : off + sizes[i]].reshape(p[3].shape)
+                    off += pad_sizes[i]
                     records.extend(self._finish_bucket(
                         (p[0], p[1], p[2], packed)))
             else:

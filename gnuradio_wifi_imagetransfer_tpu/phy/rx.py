@@ -19,10 +19,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from gnuradio_wifi_imagetransfer_tpu.config import ChannelEstimator
+from gnuradio_wifi_imagetransfer_tpu.config import ChannelEstimator, PhyConfig
 from gnuradio_wifi_imagetransfer_tpu.phy import bits as bitops
 from gnuradio_wifi_imagetransfer_tpu.phy import equalizer, mapping, ofdm, params, signal_field, viterbi
 from gnuradio_wifi_imagetransfer_tpu.phy.tx import TxPlan
+
+# tracker-gain defaults come from PhyConfig — the single tuned source of
+# truth (docs/equalizer_tuning.md); see equalizer._GAINS for rationale
+_GAINS = PhyConfig()
 
 
 def frame_spectra(samples: jnp.ndarray, n_sym: int, start: int | jnp.ndarray = 0):
@@ -77,9 +81,9 @@ def decode_aligned(
     plan: TxPlan,
     start: int | jnp.ndarray = 0,
     algo: ChannelEstimator = ChannelEstimator.LS,
-    lms_mu: float = 0.5,
-    sta_alpha: float = 0.5,
-    sta_beta: float = 0.5,
+    lms_mu: float = _GAINS.lms_mu,
+    sta_alpha: float = _GAINS.sta_alpha,
+    sta_beta: float = _GAINS.sta_beta,
 ) -> RxResult:
     """Decode a frame whose preamble starts at ``start`` in ``samples``.
 
@@ -101,9 +105,9 @@ def decode_spectra(
     spectra: jnp.ndarray,
     plan: TxPlan,
     algo: ChannelEstimator = ChannelEstimator.LS,
-    lms_mu: float = 0.5,
-    sta_alpha: float = 0.5,
-    sta_beta: float = 0.5,
+    lms_mu: float = _GAINS.lms_mu,
+    sta_alpha: float = _GAINS.sta_alpha,
+    sta_beta: float = _GAINS.sta_beta,
 ) -> RxResult:
     """Decode from already-demodulated spectra: LTF estimates (..., 64),
     SIGNAL+data spectra (..., 1+n_sym, 64). The tail of decode_aligned,
@@ -140,13 +144,20 @@ def decode_spectra(
 
 
 @functools.lru_cache(maxsize=64)
-def jitted_decode_aligned(mcs: int, psdu_len: int, algo: int = int(ChannelEstimator.LS)):
-    """jit-compiled decode_aligned for a static (MCS, length, algo)."""
+def jitted_decode_aligned(mcs: int, psdu_len: int, algo: int = int(ChannelEstimator.LS),
+                          lms_mu: float = _GAINS.lms_mu,
+                          sta_alpha: float = _GAINS.sta_alpha,
+                          sta_beta: float = _GAINS.sta_beta):
+    """jit-compiled decode_aligned for a static (MCS, length, algo).
+    Tracker gains are threadable (part of the cache key) and default to
+    the tuned PhyConfig values."""
     plan = TxPlan(mcs, psdu_len)
 
     @jax.jit
     def fn(samples, start):
-        r = decode_aligned(samples, plan, start, ChannelEstimator(algo))
+        r = decode_aligned(samples, plan, start, ChannelEstimator(algo),
+                           lms_mu=lms_mu, sta_alpha=sta_alpha,
+                           sta_beta=sta_beta)
         return r.psdu, r.sig["rate_idx"], r.sig["length"], r.sig["parity_ok"]
 
     return fn, plan

@@ -138,3 +138,26 @@ def test_integration_lms_decodes_where_ls_fails():
     errs_lms = int((np.asarray(res_lms.psdu)[0] != psdu[0]).sum())
     assert errs_lms == 0, f"LMS should decode bit-exact, {errs_lms} byte errors"
     assert errs_ls > 50, f"LS should fail hard here, got {errs_ls} byte errors"
+
+
+def test_tracker_gain_defaults_single_source_of_truth():
+    """The tuned PhyConfig gains ARE the function defaults everywhere:
+    a direct STA caller must get the data-backed sta_beta=0.125, not a
+    stale hard-coded 0.5 (VERDICT r4 item 7)."""
+    import inspect
+
+    from gnuradio_wifi_imagetransfer_tpu.config import PhyConfig
+    from gnuradio_wifi_imagetransfer_tpu.phy import equalizer as eqmod
+    from gnuradio_wifi_imagetransfer_tpu.phy import rx as rxmod
+
+    cfg = PhyConfig()
+    for fn in (eqmod.equalize, rxmod.decode_aligned, rxmod.decode_spectra,
+               rxmod.jitted_decode_aligned):
+        sig = inspect.signature(fn)
+        assert sig.parameters["lms_mu"].default == cfg.lms_mu, fn
+        assert sig.parameters["sta_alpha"].default == cfg.sta_alpha, fn
+        assert sig.parameters["sta_beta"].default == cfg.sta_beta, fn
+
+    from gnuradio_wifi_imagetransfer_tpu.parallel import executor as exmod
+
+    assert exmod._EQ_DEFAULTS == (cfg.lms_mu, cfg.sta_alpha, cfg.sta_beta)
