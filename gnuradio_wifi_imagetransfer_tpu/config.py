@@ -79,10 +79,41 @@ class PhyConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """Sample-rate-conversion front-end for the streaming executors — the
+    polyphase-resampler stage of the RX chain (BASELINE.json north star).
+
+    The reference has no resampler block: rate matching is SDR hardware
+    sample-rate config (IRS_AP.py:88-91). Here the executor ingests a
+    stream at ``nominal * resample[1]/resample[0] * (1 + ppm*1e-6)`` and
+    corrects it to the nominal 20 MS/s grid ON DEVICE before sync:
+
+      resample: (L, M) rational ratio — an input oversampled M/L times
+                is decimated/resampled by L/M (e.g. (1, 2) for a 2x-
+                oversampled capture).
+      ppm:      residual TX/RX sample-clock offset to undo (the stream
+                was produced by a clock running (1 + ppm*1e-6) fast),
+                exactly channel.model.sample_clock_offset's convention.
+
+    parallel/frontend.py factors the combined exact ratio into up to two
+    device stages (integer-decimation FIR + fractional-delay clock trim)
+    with a general polyphase fallback.
+    """
+
+    resample: tuple[int, int] = (1, 1)
+    ppm: float = 0.0
+    taps_per_phase: int = 12           # anti-alias FIR length per decim phase
+    frac_taps: int = 32                # fractional-delay interpolator taps
+    sub_block: int = 512               # clock-trim granularity (samples);
+                                       # timing ripple = sub_block * |ppm| * 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
 class ExecutorConfig:
     """Streaming block-executor configuration (the GNU Radio scheduler
     replacement — SURVEY.md §2.5, §7 step 6)."""
 
+    frontend: FrontendConfig | None = None   # sample-rate front-end (None = off)
     block_size: int = 1 << 16          # samples per time-block per shard
     halo: int = 4096                   # left-halo samples (>= sync_length + frame tail)
     max_frames_per_block: int = 8      # fixed frame-candidate slots per block

@@ -94,6 +94,21 @@ def _ravel_pad(x, size: int):
     return jnp.pad(flat, (0, size - flat.shape[0]))
 
 
+@functools.lru_cache(maxsize=8)
+def _corrected_resident(fe):
+    """jitted whole-padded-stream front-end pass: input-rate wire tensor
+    -> corrected output-grid float32 riq resident stream (stays in HBM)."""
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def fn(x_riq, np_out, *aux):
+        x = from_wire(x_riq)
+        y = fe.correct_padded(x, np_out, HALO_LEFT, aux)
+        return jnp.stack([jnp.real(y), jnp.imag(y)], axis=-1).astype(
+            jnp.float32)
+
+    return fn
+
+
 @dataclasses.dataclass
 class FrameRecord:
     """One decoded frame from the stream."""
@@ -122,6 +137,9 @@ class _StreamExecutorBase:
 
     def _init_common(self, mesh: Mesh | None, exec_cfg: ExecutorConfig,
                      phy_cfg: PhyConfig, tracer) -> None:
+        from gnuradio_wifi_imagetransfer_tpu.parallel.frontend import (
+            cached_frontend,
+        )
         from gnuradio_wifi_imagetransfer_tpu.utils import tracing
 
         self.mesh = mesh
@@ -130,7 +148,14 @@ class _StreamExecutorBase:
         self.tracer = tracer if tracer is not None else tracing.Tracer()
         self.block = exec_cfg.block_size
         self.max_frames = exec_cfg.max_frames_per_block
-        if mesh is not None:
+        self.frontend = (cached_frontend(exec_cfg.frontend)
+                         if exec_cfg.frontend is not None else None)
+        if mesh is not None and self.frontend is not None:
+            # frontend mesh mode ships per-shard EXTENDED input windows
+            # (the host has full context, so shards need no ppermute
+            # halos, no zero-context masking, and no stride overlap)
+            self._step = self._build_sharded_frontend_step(mesh)
+        elif mesh is not None:
             # mesh-mode strides advance by span - (halo_right + HALO_LEFT);
             # if that is <= 0 the trusted interval of every stride is empty
             # (all frames masked untrusted, O(n) strides at step ~1 —
@@ -224,6 +249,33 @@ class _StreamExecutorBase:
                 to_riq(np.ascontiguousarray(x[ch])), self.cfg.wire_format)
         return out
 
+    def _build_sharded_frontend_step(self, mesh: Mesh):
+        """Sharded step with the rate-conversion front-end fused at the
+        top: each shard receives an EXTENDED input-rate window (cut with
+        true context by the host) plus one exact phase scalar, corrects
+        it to the nominal output grid, and runs the RX chain. No
+        ppermute: resample phase continuity across shards is owned by
+        the host's exact Fraction arithmetic (parallel/frontend.py)."""
+        ext_out = HALO_LEFT + self.block + self.halo_right
+        fe = self.frontend
+
+        def shard_fn(x_riq, tau0):       # (C_local, 1, ext_in, 2), (1,)
+            xin = from_wire(x_riq[:, 0])             # (C_local, ext_in)
+            ext = fe.correct_block(xin, tau0[0], ext_out)
+            out = self._blocks_fn(ext)
+            return out[:, None]
+
+        from jax import shard_map
+
+        smapped = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P("channel", "time"), P("time")),
+            out_specs=P("channel", "time"),
+            check_vma=False,
+        )
+        return jax.jit(smapped)
+
     def _build_sharded_step(self, mesh: Mesh):
         t = mesh.shape["time"]
 
@@ -275,6 +327,8 @@ class _StreamExecutorBase:
 
     def _ingest_mesh(self, stream: np.ndarray, offset: int, span: int):
         c = stream.shape[0]
+        if self.frontend is not None:
+            return self._ingest_mesh_frontend(stream, offset, span)
         with self.tracer.stage("layout", samples=c * span):
             blocks = quantize_wire(to_riq(self._layout(stream, offset)),
                                    self.cfg.wire_format)
@@ -283,14 +337,75 @@ class _StreamExecutorBase:
                 blocks, NamedSharding(self.mesh, P("channel", "time")))
         return self._step(jnp.asarray(blocks))      # async dispatch
 
+    def _ingest_mesh_frontend(self, stream: np.ndarray, offset: int,
+                              span: int):
+        """Cut per-shard extended input-rate windows (zero-filled outside
+        the stream) + exact per-shard phase scalars, ship sharded."""
+        c, n_in = stream.shape
+        t = self.mesh.shape["time"]
+        fe = self.frontend
+        ext_out = HALO_LEFT + self.block + self.halo_right
+        ext_in = fe.block_ext_in(ext_out)
+        with self.tracer.stage("layout", samples=c * span):
+            blocks = np.zeros((c, t, ext_in), np.complex64)
+            taus = np.empty((t,), np.float32)
+            for ti in range(t):
+                s0 = offset + ti * self.block - HALO_LEFT
+                in_cut, taus[ti] = fe.block_cut(s0, ext_out)
+                lo, hi = max(in_cut, 0), min(in_cut + ext_in, n_in)
+                if hi > lo:
+                    blocks[:, ti, lo - in_cut : lo - in_cut + hi - lo] = (
+                        stream[:, lo:hi])
+            wire = quantize_wire(to_riq(blocks), self.cfg.wire_format)
+        with self.tracer.stage("transfer", samples=c * span):
+            wire = jax.device_put(
+                wire, NamedSharding(self.mesh, P("channel", "time")))
+            taus_d = jax.device_put(
+                taus, NamedSharding(self.mesh, P("time")))
+        return self._step(jnp.asarray(wire), jnp.asarray(taus_d))
+
+    def effective_len(self, n_in: int) -> int:
+        """Stream length on the nominal output grid (== n_in without a
+        front-end). Frame global_start positions are output-grid indices."""
+        return (self.frontend.out_len(n_in)
+                if self.frontend is not None else n_in)
+
     def _stage_resident(self, stream: np.ndarray) -> None:
         """Local mode: pad + wire-format the whole stream (vector ops) and
-        ship it ONCE; steps and on-device window gathers slice it there."""
+        ship it ONCE; steps and on-device window gathers slice it there.
+        With a front-end, the INPUT-rate stream ships and one jitted
+        correction pass materializes the corrected output-grid resident
+        stream in HBM — downstream consumers are unchanged and no extra
+        bytes cross the wire."""
         c, n = stream.shape
+        if self.frontend is not None:
+            self._stage_resident_frontend(stream)
+            return
         with self.tracer.stage("layout", samples=c * n):
             wire = self._pad_wire(stream)
         with self.tracer.stage("transfer", samples=c * n):
             self._dev_stream = jnp.asarray(wire)
+
+    def _stage_resident_frontend(self, stream: np.ndarray) -> None:
+        fe = self.frontend
+        c, n_in = stream.shape
+        n_out = fe.out_len(n_in)
+        span = self.cfg.time_shards * self.block
+        n_sup = max(1, -(-n_out // span))
+        np_out = HALO_LEFT + n_sup * span + self._resident_right_pad()
+        p_in, n_in_pad, aux = fe.padded_geometry(np_out, HALO_LEFT)
+        dt = {"f32": np.float32, "sc16": np.int16, "sc8": np.int8}[
+            self.cfg.wire_format]
+        with self.tracer.stage("layout", samples=c * n_in):
+            buf = np.zeros((c, n_in_pad, 2), dtype=dt)
+            for ch in range(c):
+                buf[ch, p_in : p_in + n_in] = quantize_wire(
+                    to_riq(np.ascontiguousarray(stream[ch])),
+                    self.cfg.wire_format)
+        with self.tracer.stage("transfer", samples=c * n_in):
+            dev_in = jnp.asarray(buf)
+        with self.tracer.stage("frontend", samples=c * n_in):
+            self._dev_stream = _corrected_resident(fe)(dev_in, np_out, *aux)
 
     def _stepped(self, stream: np.ndarray):
         """Double-buffered dispatch: yields (offset, outs) per super-block.
@@ -303,14 +418,19 @@ class _StreamExecutorBase:
         keeps the good record. Local mode reads true straddle context from
         the resident stream, so strides don't overlap.
         """
-        c, n = stream.shape
+        c, n_in = stream.shape
+        n = self.effective_len(n_in)
         t = self.mesh.shape["time"] if self.mesh is not None else self.cfg.time_shards
         span = t * self.block
-        if self.mesh is not None:
+        if self.mesh is not None and self.frontend is None:
             # overlap strides by the halo total so every interior seam is
             # re-scanned with true context (always positive: _init_common
             # rejects spans that don't exceed the halo total)
             stride = span - (self.halo_right + HALO_LEFT)
+        elif self.mesh is not None:
+            # frontend mesh mode: host-cut extended windows carry true
+            # context, so seams need no re-scan and strides don't overlap
+            stride = span
         else:
             stride = span
             self._stage_resident(stream)
@@ -443,7 +563,7 @@ class StreamExecutor(_StreamExecutorBase):
             good = ((parity != 0) & (rate_idx == self.plan.mcs)
                     & (length == self.plan.psdu_len))
             mask = (valid != 0) & (gstart < n)
-            if self.mesh is not None:
+            if self.mesh is not None and self.frontend is None:
                 # Drop decodes whose demod window read an open-chain ZERO
                 # halo where real samples exist: the edge shards of each
                 # super-block see silence instead of neighbouring-stride
@@ -485,7 +605,7 @@ class StreamExecutor(_StreamExecutorBase):
         shard's right halo is open-chain zeros, the true post-end content.
         """
         stream = np.atleast_2d(stream)
-        n = stream.shape[1]
+        n = self.effective_len(stream.shape[1])
         records: dict[tuple[int, int], FrameRecord] = {}
         try:
             for offset, outs, span in self._stepped(stream):
@@ -564,6 +684,39 @@ def _stage_b_fn(mcs: int, psdu_len: int, algo: int,
         return _pack_bucket_rows(r, plan, capture_symbols)
 
     return fn, plan, wlen
+
+
+@functools.lru_cache(maxsize=64)
+def _stage_b_fn_frontend(mcs: int, psdu_len: int, algo: int,
+                         capture_symbols: bool, eq_params: tuple,
+                         fe_cfg):
+    """jitted payload decode for one (MCS, length) bucket from HOST-cut
+    INPUT-RATE windows (mesh mode with a rate-conversion front-end): the
+    window is corrected to the nominal grid on-device (per-row phase
+    scalar), then CFO-corrected and decoded like _stage_b_fn."""
+    from gnuradio_wifi_imagetransfer_tpu.parallel.frontend import (
+        cached_frontend,
+    )
+
+    fe = cached_frontend(fe_cfg)
+    plan = TxPlan(mcs, psdu_len)
+    wlen = sync.window_len(plan.n_sym)
+    wlen_in = fe.block_ext_in(wlen)
+
+    @jax.jit
+    def fn(raw_riq, tau0, cfo, frame_start):
+        raw_in = from_wire(raw_riq)                           # (B, wlen_in)
+        w0 = jax.vmap(lambda r, t: fe.correct_block(r, t, wlen))(
+            raw_in, tau0)                                     # (B, wlen)
+        n = jnp.arange(wlen)
+        w = w0 * jnp.exp(-1j * cfo[:, None] * n)              # same ramp origin
+        r = rx.decode_aligned(w, plan, start=frame_start,
+                              algo=ChannelEstimator(algo),
+                              lms_mu=eq_params[0], sta_alpha=eq_params[1],
+                              sta_beta=eq_params[2])
+        return _pack_bucket_rows(r, plan, capture_symbols)
+
+    return fn, plan, wlen, wlen_in
 
 
 @functools.lru_cache(maxsize=64)
@@ -723,7 +876,7 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
                 & (length >= 1)
                 & (length <= self.phy.max_psdu_bytes)
             )
-            if self.mesh is not None:
+            if self.mesh is not None and self.frontend is None:
                 # mirror StreamExecutor._collect: a SIGNAL read through an
                 # open-chain zero halo (instead of real neighbour samples)
                 # may parse to a wrong (rate, length) and burn the dedup key
@@ -795,6 +948,26 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
                 origin[i] = cand.global_start - sync.MARGIN + HALO_LEFT
             packed = fn(self._dev_stream, jnp.asarray(ch), jnp.asarray(origin),
                         jnp.asarray(cfo), jnp.asarray(fstart))
+        elif self.frontend is not None:
+            # mesh mode + front-end: the host stream is INPUT rate, so
+            # cut input-rate windows and correct them inside the bucket
+            # jit (per-candidate exact phase scalar from the host)
+            fn, plan, wlen, wlen_in = _stage_b_fn_frontend(
+                mcs, ln, int(self.algo), self.capture_symbols, eq,
+                self.cfg.frontend)
+            raw = np.zeros((b_pad, wlen_in), dtype=np.complex64)
+            tau = np.zeros(b_pad, dtype=np.float32)
+            n_in = stream.shape[1]
+            for i, cand in enumerate(bucket):
+                in_cut, tau[i] = self.frontend.block_cut(
+                    cand.global_start - sync.MARGIN, wlen)
+                lo, hi = max(in_cut, 0), min(in_cut + wlen_in, n_in)
+                if hi > lo:
+                    raw[i, lo - in_cut : lo - in_cut + hi - lo] = (
+                        stream[cand.channel, lo:hi])
+            wire = quantize_wire(to_riq(raw), self.cfg.wire_format)
+            packed = fn(jnp.asarray(wire), jnp.asarray(tau),
+                        jnp.asarray(cfo), jnp.asarray(fstart))
         else:
             fn, plan, wlen = _stage_b_fn(
                 mcs, ln, int(self.algo), self.capture_symbols, eq)
@@ -856,7 +1029,7 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
         so device memory and the concat program's operand count stay
         O(1) in stream length."""
         stream = np.atleast_2d(np.ascontiguousarray(stream, dtype=np.complex64))
-        n = stream.shape[1]
+        n = self.effective_len(stream.shape[1])
         seen: set[tuple[int, int]] = set()
         pending: list = []
         records: list[FrameRecord] = []

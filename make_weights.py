@@ -85,16 +85,45 @@ def load_kodak(names):
             for n in names]
 
 
-def crops(rng, imgs, n, size=None):
-    """n random crops (n, size, size, 3) uint8 with flips."""
+def extra_train_images():
+    """Additional public sample images bundled with scikit-learn (china,
+    flower — 427x640 RGB). The container has only 6 Kodak images; every
+    extra natural image measurably helps the 5-image train pool
+    (VERDICT r4 item 4: push JSCE quality)."""
+    try:
+        from sklearn.datasets import load_sample_images
+
+        return [np.ascontiguousarray(im.astype(np.uint8))
+                for im in load_sample_images().images]
+    except Exception:
+        return []
+
+
+def crops(rng, imgs, n, size=None, augment=False):
+    """n random crops (n, size, size, 3) uint8 with flips; with
+    ``augment`` also random scales (crop up to 2x the target then
+    bicubic-resize down — multi-scale statistics from a tiny image pool)
+    and 90-degree rotations."""
+    from PIL import Image
+
     if size is None:
         size = IMG               # bound by _set_geometry(), not at import
     out = np.empty((n, size, size, 3), np.uint8)
     for i in range(n):
         im = imgs[rng.integers(len(imgs))]
-        y = rng.integers(im.shape[0] - size + 1)
-        x = rng.integers(im.shape[1] - size + 1)
-        c = im[y : y + size, x : x + size]
+        s = size
+        if augment and rng.integers(2):
+            s_max = min(im.shape[0], im.shape[1], 2 * size)
+            if s_max > size:
+                s = int(rng.integers(size, s_max + 1))
+        y = rng.integers(im.shape[0] - s + 1)
+        x = rng.integers(im.shape[1] - s + 1)
+        c = im[y : y + s, x : x + s]
+        if s != size:
+            c = np.asarray(Image.fromarray(c).resize(
+                (size, size), Image.BICUBIC))
+        if augment:
+            c = np.rot90(c, int(rng.integers(4)))
         if rng.integers(2):
             c = c[:, ::-1]
         if rng.integers(2):
@@ -215,6 +244,13 @@ def main():
                     help="ignore the /tmp resume state")
     ap.add_argument("--report-every", type=int, default=8,
                     help="dispatches between progress/checkpoint saves")
+    ap.add_argument("--eval-every", type=int, default=4000,
+                    help="steps between holdout-PSNR curve points (0=off)")
+    ap.add_argument("--curve-out", default=os.path.join(
+        REPO, "docs", "jsce_training_curve.json"),
+        help="JSON training-curve log (loss + periodic holdout PSNR)")
+    ap.add_argument("--no-augment", action="store_true",
+                    help="disable scale/rotation augmentation")
     args = ap.parse_args()
     default_steps = _set_geometry(args.geometry)
     if args.steps is None:
@@ -242,7 +278,9 @@ def main():
 
     print(f"backend: {jax.default_backend()}", flush=True)
     rng = np.random.default_rng(0)
-    train_imgs = load_kodak(TRAIN_IMAGES)
+    train_imgs = load_kodak(TRAIN_IMAGES) + extra_train_images()
+    print(f"train pool: {len(train_imgs)} images, "
+          f"augment={not args.no_augment}", flush=True)
 
     model = SOMANet(compressed_channel=C, img_size=IMG)
     schedule = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.01)
@@ -260,20 +298,56 @@ def main():
         labs = np.empty((k, U, 256), np.float32)
         for i in range(k):
             for u in range(U):
-                imgs[i, u] = crops(rng, train_imgs, B)
+                imgs[i, u] = crops(rng, train_imgs, B,
+                                   augment=not args.no_augment)
             labs[i] = pe_labels(random_user_keys(rng, U))
         return imgs, labs
 
+    curve: list[dict] = []
+    if os.path.exists(args.curve_out):
+        try:
+            with open(args.curve_out) as f:
+                curve = json.load(f)["points"]
+        except Exception:
+            curve = []
+
+    def log_curve(step, loss, psnr=None):
+        pt = {"step": int(step), "loss": float(loss)}
+        if psnr is not None:
+            pt["holdout_psnr"] = {u: round(v["psnr"], 3)
+                                  for u, v in psnr.items()}
+        curve.append(pt)
+        os.makedirs(os.path.dirname(args.curve_out), exist_ok=True)
+        with open(args.curve_out, "w") as f:
+            json.dump({"geometry": args.geometry,
+                       "train_pool": len(train_imgs),
+                       "augment": not args.no_augment,
+                       "points": curve}, f, indent=1)
+
+    next_eval = ((trainer.state.step // args.eval_every + 1)
+                 * args.eval_every) if args.eval_every else None
+
     t0 = time.time()
+    step0 = trainer.state.step
     while trainer.state.step < args.steps:
         imgs, labs = batch_seq(K)
         losses = trainer.train_steps(imgs, labs, mode="m2m")
         step = trainer.state.step
         if (step // K - 1) % args.report_every == 0 or step >= args.steps:
-            rate = step / max(time.time() - t0, 1e-9)
+            rate = (step - step0) / max(time.time() - t0, 1e-9)
             print(f"step {step:6d}  loss {losses[-1]:.5f}  "
                   f"({rate:.1f} steps/s)", flush=True)
             save_state(trainer, STATE)
+            psnr = None
+            if next_eval is not None and step >= next_eval:
+                psnr = eval_holdout(
+                    {"params": trainer.state.params,
+                     "batch_stats": trainer.state.batch_stats}, n_crops=6)
+                print(f"  holdout: " + ", ".join(
+                    f"{u} {v['psnr']:.2f} dB" for u, v in psnr.items()),
+                    flush=True)
+                next_eval = (step // args.eval_every + 1) * args.eval_every
+            log_curve(step, losses[-1], psnr)
 
     save_state(trainer, STATE)
     variables = {"params": trainer.state.params,
