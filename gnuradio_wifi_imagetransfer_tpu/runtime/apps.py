@@ -319,7 +319,14 @@ class _SseHub:
 
 
 class _ReceiverBase(_AppServer):
-    def __init__(self, cfg: AppConfig, http_port: int, rx_port: int | None):
+    def __init__(self, cfg: AppConfig, http_port: int, rx_port: int | None,
+                 radio=None):
+        # optional attached radio (LoopbackRadio / RxRadio): its
+        # constellation/spectrum/snr probes are served at /constellation
+        # and /spectrum (the browser stand-ins for the reference's Qt
+        # const/freq sinks, IRS_AP.py:178-266), and its live setters at
+        # POST /radio (the GUI-variable sliders, IRS_tranceiver.py:370-434)
+        self.radio = radio
         self.cfg = cfg
         self.hub = _SseHub()
         self.last_image_b64: str | None = None
@@ -377,8 +384,8 @@ class ReceiverApp(_ReceiverBase):
     canvas, redraw each piece, push update."""
 
     def __init__(self, cfg: AppConfig = AppConfig(), http_port: int = 0,
-                 rx_port: int | None = None):
-        super().__init__(cfg, http_port, rx_port)
+                 rx_port: int | None = None, radio=None):
+        super().__init__(cfg, http_port, rx_port, radio=radio)
         h, w = cfg.image_size
         self.canvas = np.zeros((h, w, 3), dtype=np.uint8)
 
@@ -395,8 +402,8 @@ class FeatureMapReceiverApp(_ReceiverBase):
 
     def __init__(self, codec, user_id: str = "3-4", latent_shape=(30, 30, 128),
                  decode_every: int = 3, cfg: AppConfig = AppConfig(),
-                 http_port: int = 0, rx_port: int | None = None):
-        super().__init__(cfg, http_port, rx_port)
+                 http_port: int = 0, rx_port: int | None = None, radio=None):
+        super().__init__(cfg, http_port, rx_port, radio=radio)
         self.codec = codec
         self.user_id = user_id
         self.feature_map = np.zeros(latent_shape, dtype=np.float32)
@@ -425,8 +432,10 @@ def _make_receiver_handler(app):
                     body = _template("featuremap_receiver.html").format(
                         title=type(app).__name__, user_id=app.user_id)
                 else:
+                    controls = (_template("rf_panel.html")
+                                if app.radio is not None else "")
                     body = _template("receiver.html").format(
-                        title=type(app).__name__, controls="")
+                        title=type(app).__name__, controls=controls)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html")
                 self.end_headers()
@@ -464,6 +473,31 @@ def _make_receiver_handler(app):
                 self.wfile.write(json.dumps(
                     {"pieces_received": app.pieces_received}).encode())
                 return
+            if self.path == "/constellation" and app.radio is not None:
+                # equalized-symbol scatter + running SNR — the Qt
+                # const_sink_c analogue (IRS_AP.py:178-200,312-313)
+                pts = app.radio.constellation.points(512)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps({
+                    "points": np.round(pts, 4).tolist(),
+                    "snr_db": round(app.radio.snr_probe.snr_db(), 2)
+                    if app.radio.snr_probe.m2 is not None else None,
+                }).encode())
+                return
+            if self.path == "/spectrum" and app.radio is not None:
+                # averaged PSD — the qtgui.freq_sink_c analogue
+                # (IRS_AP.py:226-266)
+                psd = app.radio.spectrum.psd_db()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps({
+                    "psd_db": np.round(psd, 2).tolist(),
+                    "nfft": int(psd.size),
+                }).encode())
+                return
             self.send_response(404)
             self.end_headers()
 
@@ -475,6 +509,37 @@ def _make_receiver_handler(app):
                 app.user_id = qs.get("id", [app.user_id])[0]
                 self.send_response(200)
                 self.end_headers()
+                return
+            if self.path.startswith("/radio") and app.radio is not None:
+                # live radio reconfiguration — the browser stand-in for
+                # the reference's GUI variable sliders/choosers
+                # (IRS_tranceiver.py:370-375,429-434; IRS_user.py:221-273)
+                from urllib.parse import parse_qs, urlparse
+
+                qs = parse_qs(urlparse(self.path).query)
+                applied = {}
+                try:
+                    if "mcs" in qs and hasattr(app.radio, "set_encoding"):
+                        app.radio.set_encoding(int(qs["mcs"][0]))
+                        applied["mcs"] = app.radio.mcs
+                    if "snr" in qs and hasattr(app.radio, "set_snr"):
+                        app.radio.set_snr(float(qs["snr"][0]))
+                        applied["snr"] = app.radio.snr_db
+                    if "epsilon" in qs and hasattr(app.radio, "set_epsilon"):
+                        app.radio.set_epsilon(float(qs["epsilon"][0]))
+                        applied["epsilon"] = app.radio.epsilon
+                    if "chan_est" in qs and hasattr(app.radio, "set_chan_est"):
+                        app.radio.set_chan_est(int(qs["chan_est"][0]))
+                        applied["chan_est"] = int(app.radio.chan_est)
+                except (KeyError, ValueError) as e:
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(str(e).encode())
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.end_headers()
+                self.wfile.write(json.dumps(applied).encode())
                 return
             self.send_response(404)
             self.end_headers()

@@ -153,12 +153,17 @@ class LoopbackRadio:
         phy_cfg: PhyConfig = PhyConfig(),
         batch: int = 8,
         seed: int = 0,
+        probes: bool = False,
     ):
+        from gnuradio_wifi_imagetransfer_tpu.config import ChannelEstimator
+        from gnuradio_wifi_imagetransfer_tpu.utils import tracing
+
         self.source = make_udp_source(port=in_port)
         self.sink = make_udp_sink(out_host, out_port)
         self.mcs = mcs
         self.snr_db = snr_db
         self.epsilon = epsilon
+        self.chan_est = ChannelEstimator(phy_cfg.chan_est)
         self.cfg = phy_cfg
         self.batch = batch
         self.mac = macmod.Mac()
@@ -166,10 +171,43 @@ class LoopbackRadio:
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._rng = np.random.default_rng(seed)
         self.stats = {"datagrams_in": 0, "frames_ok": 0, "frames_crc_fail": 0}
+        # headless GUI-sink analogues (constellation / spectrum / SNR),
+        # populated when probes=True — see RxRadio for the split-topology
+        # equivalents (IRS_AP.py:178-266 Qt sinks)
+        self.probes = probes
+        self.constellation = tracing.ConstellationProbe()
+        self.spectrum = tracing.SpectrumProbe()
+        self.snr_probe = tracing.SnrProbe(alpha=0.05)
 
     @property
     def in_port(self) -> int:
         return self.source.port
+
+    # -- live reconfiguration (the GUI-variable setters of the reference
+    #    top blocks: set_encoding IRS_user.py:221-273, snr/epsilon sliders
+    #    IRS_tranceiver.py:370-375,429-434). Attribute stores are atomic;
+    #    the radio thread reads them per batch, and SNR/CFO are traced
+    #    arguments of the compiled radio function, so already-compiled
+    #    (mcs, length) buckets retune on the very next batch. ----------
+
+    def set_encoding(self, mcs: int) -> None:
+        """Live MCS change (reference wifi_phy_hier.set_encoding)."""
+        self.mcs = int(mcs)
+
+    set_mcs = set_encoding
+
+    def set_snr(self, snr_db: float) -> None:
+        self.snr_db = float(snr_db)
+
+    def set_epsilon(self, epsilon: float) -> None:
+        self.epsilon = float(epsilon)
+
+    def set_chan_est(self, algo) -> None:
+        """Live equalizer-algorithm change (IRS_AP.py:139-141). Changes
+        the compiled program, so it keys the jit cache like MCS."""
+        from gnuradio_wifi_imagetransfer_tpu.config import ChannelEstimator
+
+        self.chan_est = ChannelEstimator(algo)
 
     def start(self):
         self.source.start()
@@ -192,6 +230,11 @@ class LoopbackRadio:
         from gnuradio_wifi_imagetransfer_tpu.phy import sync, tx
         from gnuradio_wifi_imagetransfer_tpu.utils.xfer import from_riq, to_host, to_riq
 
+        def to_riq_traced(z):
+            # device-side riq split (the axon tunnel cannot fetch complex)
+            return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1).astype(
+                jnp.float32)
+
         jitted = {}
 
         def process(payloads: list[bytes]):
@@ -210,27 +253,44 @@ class LoopbackRadio:
                     np.frombuffer(self.mac.frame(p), dtype=np.uint8) for p in group
                 ])
                 L = mpdus.shape[1]
-                key = (self.mcs, L, mpdus.shape[0])
+                # snr/epsilon are TRACED arguments (live retune without
+                # recompiling); mcs/length/algo change the program shape
+                # and key the cache
+                key = (self.mcs, L, mpdus.shape[0], int(self.chan_est),
+                       self.probes)
                 if key not in jitted:
                     plan = tx.tx_plan(self.mcs, L)
+                    algo = self.chan_est
+                    capture = self.probes
 
-                    def radio_fn(mpdus_in, noise_key, plan=plan):
+                    def radio_fn(mpdus_in, noise_key, snr_db, foff,
+                                 plan=plan, algo=algo, capture=capture):
                         bursts = tx.transmit_traced(mpdus_in, plan)
                         stream = tx.pad_burst(bursts, 100, 400, scale=0.6).reshape(-1)
-                        foff = chmodel.epsilon_to_frequency_offset(self.epsilon, self.cfg.frequency)
                         y = chmodel.channel_model(
                             noise_key, stream, noise_voltage=1.0,
-                            frequency_offset=foff, snr_db=self.snr_db)
+                            frequency_offset=foff, snr_db=snr_db)
                         res, cand = sync.receive(y, plan, max_frames=2 * mpdus_in.shape[0],
-                                                 cfg=self.cfg)
+                                                 cfg=self.cfg, algo=algo)
+                        eq_riq = (to_riq_traced(res.eq_symbols) if capture
+                                  else jnp.zeros((0, 2)))
+                        psd_riq = (to_riq_traced(y[: 1 << 13]) if capture
+                                   else jnp.zeros((0, 2)))
                         return (res.psdu,
                                 cand.valid.astype(jnp.uint8),
-                                res.sig["parity_ok"].astype(jnp.uint8))
+                                res.sig["parity_ok"].astype(jnp.uint8),
+                                eq_riq, psd_riq)
 
                     jitted[key] = jax.jit(radio_fn)
                 fn = jitted[key]
                 k = jax.random.key(int(self._rng.integers(0, 2**31)))
-                psdu, valid, parity = map(np.asarray, fn(jnp.asarray(mpdus), k))
+                foff = chmodel.epsilon_to_frequency_offset(
+                    self.epsilon, self.cfg.frequency)
+                psdu, valid, parity, eq_riq, psd_riq = map(np.asarray, fn(
+                    jnp.asarray(mpdus), k, jnp.float32(self.snr_db),
+                    jnp.float32(foff)))
+                if self.probes and psd_riq.size:
+                    self.spectrum.update(psd_riq[..., 0] + 1j * psd_riq[..., 1])
                 for i in range(psdu.shape[0]):
                     if not (valid[i] and parity[i]):
                         continue
@@ -239,6 +299,10 @@ class LoopbackRadio:
                         self.stats["frames_crc_fail"] += 1
                         continue
                     self.stats["frames_ok"] += 1
+                    if self.probes and eq_riq.size:
+                        syms = eq_riq[i, ..., 0] + 1j * eq_riq[i, ..., 1]
+                        self.constellation.push(syms)
+                        self.snr_probe.update(syms)
                     self.sink.send_mac_payload(frame.payload)
 
         while not self._stop.is_set():
