@@ -98,6 +98,11 @@ STREAM_CACHE = "/tmp/gwt_bench_streams_v6.npz"
 # budget runs out (first three cover the bottom/middle/top of the ladder)
 ADAPTIVE_ORDER = (2, 7, 0, 1, 3, 4, 5, 6)
 
+# latency sweep shapes: (channels, time_shards, block) — small/live-radio
+# shapes up to the bulk regime (VERDICT r4 item 2)
+LATENCY_SHAPES = ((1, 1, 1 << 14), (1, 2, 1 << 15), (1, 4, 1 << 16),
+                  (2, 8, 1 << 17))
+
 _GEN_SNIPPET = r"""
 import os
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -493,6 +498,146 @@ def _worker_main(argv: list[str]) -> None:
         _emit("sweep", {"channels": 1, "msps": round(msps1, 2)})
         _progress(f"worker: sweep channels=1 {msps1:.0f} Msps")
 
+    # --- 5. latency sweep: ms per super-block step vs shape (VERDICT r4
+    # item 2 — the live-radio regime is small blocks, latency-bounded).
+    # t_lo from bench_device_step IS one full dispatch+fetch round trip
+    # of a single super-block (the latency a streaming radio pays per
+    # block); the marginal msps is the on-chip rate at that shape.
+    if True:
+        for ch, t_sh, blk in LATENCY_SHAPES:
+            if not wanted(f"latency:{ch}x{t_sh}x{blk}"):
+                continue
+            if not fits(90.0):
+                break
+            l_cfg = ExecutorConfig(block_size=blk, time_shards=t_sh,
+                                   channels=ch,
+                                   max_frames_per_block=MAX_FRAMES,
+                                   wire_format="sc16")
+            l_ex = StreamExecutor(plan, mesh=None, exec_cfg=l_cfg)
+            l_stream = data["primary"][:ch, : t_sh * blk]
+            try:
+                msps, (t_lo, t_hi, k_used) = bench_device_step(
+                    l_ex, l_stream, k_hi=8)
+            except RuntimeError as e:
+                _progress(f"worker: latency {ch}x{t_sh}x{blk} skipped ({e})")
+                continue
+            n_samp = ch * t_sh * blk
+            _emit("latency", {
+                "shape": f"{ch}x{t_sh}x{blk}", "samples": n_samp,
+                "step_ms": round(t_lo * 1e3, 2),
+                "marginal_msps": round(msps, 2),
+                "realtime_budget_ms_at_20msps": round(n_samp / 20e3, 2),
+            })
+            _progress(f"worker: latency {ch}x{t_sh}x{blk}: "
+                      f"{t_lo*1e3:.0f} ms/step, {msps:.0f} Msps marginal")
+
+    # --- 6. ingest bandwidth: host->device bytes/s per wire format
+    # (VERDICT r4 item 8 — quantify, not argue, what bounds the
+    # end-to-end pipeline on this rig and what a host-attached TPU
+    # would see). Marginal over a 4x size ratio cancels per-transfer
+    # fixed cost; fresh bytes per transfer defeat relay memoization.
+    if wanted("ingest") and fits(120.0):
+        import jax.numpy as jnp
+
+        reduce_fn = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
+
+        def xfer_time(arr):
+            dev = jax.device_put(arr)
+            _ = np.asarray(reduce_fn(dev))   # force materialization (sync)
+            return dev
+
+        rng = np.random.default_rng(123)
+        bw = {}
+        for fmt, dtype, scale in (("f32", np.float32, 1.0),
+                                  ("sc16", np.int16, 3e4),
+                                  ("sc8", np.int8, 100.0)):
+            small = (rng.standard_normal(1 << 23) * scale).astype(dtype)
+            big = (rng.standard_normal(1 << 25) * scale).astype(dtype)
+            # warmup path (compile the reduce for each dtype/shape)
+            xfer_time(small); xfer_time(big)
+            times = {}
+            for name, base in (("small", small), ("big", big)):
+                best = float("inf")
+                for r in range(2):
+                    fresh_a = base.copy()
+                    if dtype == np.float32:
+                        fresh_a[r::1009] += 1e-3
+                    else:
+                        fresh_a[r::1009] ^= dtype(1)
+                    t0 = time.perf_counter()
+                    xfer_time(fresh_a)
+                    best = min(best, time.perf_counter() - t0)
+                times[name] = best
+            d_bytes = big.nbytes - small.nbytes
+            bw[fmt] = d_bytes / max(times["big"] - times["small"], 1e-9)
+        _emit("ingest", {k: round(v / 1e6, 1) for k, v in bw.items()})
+        _progress("worker: ingest MB/s " + str(
+            {k: round(v / 1e6, 1) for k, v in bw.items()}))
+
+    # --- 7. rate-conversion front-end cost: the on-device correction
+    # pass that an oversampled / clock-skewed capture pays before the RX
+    # chain (VERDICT r4 item 1 'bench records the throughput cost') ---
+    if wanted("frontend") and fits(150.0):
+        import jax.numpy as jnp
+
+        from gnuradio_wifi_imagetransfer_tpu.config import FrontendConfig
+        from gnuradio_wifi_imagetransfer_tpu.parallel.frontend import (
+            cached_frontend,
+        )
+
+        fe_res = {}
+        n_out_pad = 1 << 22                  # 4M corrected samples
+        for label, fe_cfg in (("decim2", FrontendConfig(resample=(1, 2))),
+                              ("ppm40", FrontendConfig(ppm=40.0))):
+            if not fits(60.0):
+                break
+            fe = cached_frontend(fe_cfg)
+            p_in, n_in_pad, aux = fe.padded_geometry(n_out_pad, 256)
+            rng = np.random.default_rng(5)
+            x = (rng.standard_normal((1, n_in_pad, 2)) * 0.1).astype(
+                np.float32)
+
+            def make(k, fe=fe, aux=aux):
+                from gnuradio_wifi_imagetransfer_tpu.utils.xfer import (
+                    from_wire,
+                )
+
+                @jax.jit
+                def fn(b):
+                    def body(carry, i):
+                        bits = jax.lax.bitcast_convert_type(b, jnp.int32)
+                        bi = jax.lax.bitcast_convert_type(bits ^ i, b.dtype)
+                        y = fe.correct_padded(from_wire(bi), n_out_pad,
+                                              256, aux)
+                        return carry, jnp.sum(jnp.abs(y))
+                    _, sums = jax.lax.scan(
+                        body, 0.0, jnp.arange(1, k + 1, dtype=jnp.int32))
+                    return sums
+                return fn
+
+            def timed(fn, x=x):
+                _ = np.asarray(fn(jnp.asarray(x)))
+                best = float("inf")
+                for r in range(2):
+                    xv = (x.view(np.int32) ^ np.int32(r + 1)).view(np.float32)
+                    t0 = time.perf_counter()
+                    _ = np.asarray(fn(jnp.asarray(xv)))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            k_hi = 4
+            while True:
+                t_lo, t_hi = timed(make(1)), timed(make(k_hi))
+                if t_hi > 1.2 * t_lo or k_hi >= 32:
+                    break
+                k_hi *= 2
+            marginal = max((t_hi - t_lo) / (k_hi - 1), 1e-9)
+            fe_res[label] = round(n_out_pad / marginal / 1e6, 1)
+            _progress(f"worker: frontend {label} "
+                      f"{fe_res[label]:.0f} Msps (corrected out)")
+        if fe_res:
+            _emit("frontend", fe_res)
+
 
 # ======================================================================
 # orchestrator side (never imports jax; owns the budget)
@@ -511,6 +656,9 @@ class _Result:
         self.pipeline_stages = None
         self.fps: dict[str, float] = {}
         self.sweep: dict[str, float] = {}
+        self.latency: list[dict] = []
+        self.ingest: dict[str, float] | None = None
+        self.frontend: dict[str, float] | None = None
         self.notes: list[str] = []
 
     def absorb(self, p: dict) -> str | None:
@@ -545,7 +693,37 @@ class _Result:
         if name == "sweep":
             self.sweep[f"channels={p['channels']}"] = p["msps"]
             return "sweep"
+        if name == "latency":
+            self.latency.append(p)
+            return f"latency:{p['shape']}"
+        if name == "ingest":
+            self.ingest = p
+            return "ingest"
+        if name == "frontend":
+            self.frontend = p
+            return "frontend"
         return None
+
+    def _host_model(self) -> dict | None:
+        """Quantified pipeline model (VERDICT r4 item 8): end-to-end
+        rate = min(device-step rate, ingest_BW / wire bytes-per-sample).
+        The rig columns use the MEASURED tunnel bandwidth; the PCIe row
+        shows what the same chip yields host-attached (16 GB/s DMA,
+        conservative for v5e's PCIe Gen4 x8+)."""
+        if not self.ingest:
+            return None
+        dev = (self.device or self.device_small or {"msps": None})["msps"]
+        if dev is None:
+            return None
+        out = {}
+        for fmt, bps in (("f32", 8), ("sc16", 4), ("sc8", 2)):
+            bw = self.ingest.get(fmt)
+            if bw:
+                out[f"rig_{fmt}_msps"] = round(min(dev, bw / bps), 1)
+        out["pcie16GBps_sc16_msps"] = round(min(dev, 16000.0 / 4), 1)
+        out["bound"] = ("device-step-bound when host-attached"
+                        if dev < 16000.0 / 4 else "ingest-bound")
+        return out
 
     def print_line(self) -> None:
         # primary value: full-shape device step; fall back to the early
@@ -566,6 +744,10 @@ class _Result:
             "pipeline_stages_s": self.pipeline_stages,
             "adaptive_frames_per_s": self.fps,
             "device_step_sweep": self.sweep,
+            "latency_sweep": self.latency,
+            "ingest_mbps": self.ingest,
+            "frontend_msps": self.frontend,
+            "host_attached_model": self._host_model(),
             "notes": self.notes,
             "note": "value = marginal on-chip rate of the jitted sc16 RX "
                     "chain (k-step scan, fetch-synced; defeats the relay's "
@@ -590,7 +772,9 @@ class _Result:
 
 ALL_PHASES = ("device_small", "device", "pipeline", "pipeline8",
               *(f"adaptive:{m}" for m in ADAPTIVE_ORDER), "adaptive:mix",
-              "sweep")
+              "sweep",
+              *(f"latency:{c}x{t}x{b}" for c, t, b in LATENCY_SHAPES),
+              "ingest", "frontend")
 
 
 def _run_worker(args: list[str], phases: tuple[str, ...], res: _Result,

@@ -94,6 +94,53 @@ def _ravel_pad(x, size: int):
     return jnp.pad(flat, (0, size - flat.shape[0]))
 
 
+def _to_global(arr: np.ndarray, mesh: Mesh, spec: P):
+    """Host numpy -> globally-sharded device array. Single-process:
+    plain device_put. Multi-process (jax.distributed): every host holds
+    the same global value (each received the shared antenna feed) and
+    contributes its addressable shards."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() > 1:
+        # global_shape == arr.shape tells jax the array IS the global
+        # value (each host extracts its own slices); omitting it would
+        # treat the value as one host's sub-batch and double the mesh
+        return jax.make_array_from_process_local_data(
+            sharding, arr, arr.shape)
+    return jax.device_put(arr, sharding)
+
+
+def _fetch_global(outs) -> np.ndarray:
+    """Fetch a (possibly multi-process) sharded step output to a full
+    host numpy tensor on EVERY host: processes exchange their
+    addressable shards (index + data over DCN), so the host-side
+    dispatch (candidate collection, stage-B bucketing) runs replicated —
+    identical on all hosts, the standard SPMD discipline."""
+    if jax.process_count() == 1:
+        return np.asarray(outs)
+    from jax.experimental import multihost_utils
+
+    full = np.zeros(outs.shape, outs.dtype)
+    local = sorted(outs.addressable_shards,
+                   key=lambda s: tuple(sl.indices(outs.shape[d])[0]
+                                       for d, sl in enumerate(s.index)))
+    starts = np.array([
+        [sl.indices(outs.shape[d])[0] for d, sl in enumerate(s.index)]
+        for s in local], np.int64)
+    stops = np.array([
+        [sl.indices(outs.shape[d])[1] for d, sl in enumerate(s.index)]
+        for s in local], np.int64)
+    data = np.stack([np.asarray(s.data) for s in local])
+    g_start = multihost_utils.process_allgather(starts)    # (P, S, ndim)
+    g_stop = multihost_utils.process_allgather(stops)
+    g_data = multihost_utils.process_allgather(data)       # (P, S, ...)
+    for p in range(g_start.shape[0]):
+        for s in range(g_start.shape[1]):
+            sel = tuple(slice(int(a), int(b))
+                        for a, b in zip(g_start[p, s], g_stop[p, s]))
+            full[sel] = g_data[p, s]
+    return full
+
+
 @functools.lru_cache(maxsize=8)
 def _corrected_resident(fe):
     """jitted whole-padded-stream front-end pass: input-rate wire tensor
@@ -333,9 +380,8 @@ class _StreamExecutorBase:
             blocks = quantize_wire(to_riq(self._layout(stream, offset)),
                                    self.cfg.wire_format)
         with self.tracer.stage("transfer", samples=c * span):
-            blocks = jax.device_put(
-                blocks, NamedSharding(self.mesh, P("channel", "time")))
-        return self._step(jnp.asarray(blocks))      # async dispatch
+            blocks = _to_global(blocks, self.mesh, P("channel", "time"))
+        return self._step(blocks)                   # async dispatch
 
     def _ingest_mesh_frontend(self, stream: np.ndarray, offset: int,
                               span: int):
@@ -358,11 +404,9 @@ class _StreamExecutorBase:
                         stream[:, lo:hi])
             wire = quantize_wire(to_riq(blocks), self.cfg.wire_format)
         with self.tracer.stage("transfer", samples=c * span):
-            wire = jax.device_put(
-                wire, NamedSharding(self.mesh, P("channel", "time")))
-            taus_d = jax.device_put(
-                taus, NamedSharding(self.mesh, P("time")))
-        return self._step(jnp.asarray(wire), jnp.asarray(taus_d))
+            wire = _to_global(wire, self.mesh, P("channel", "time"))
+            taus_d = _to_global(taus, self.mesh, P("time"))
+        return self._step(wire, taus_d)
 
     def effective_len(self, n_in: int) -> int:
         """Stream length on the nominal output grid (== n_in without a
@@ -547,10 +591,12 @@ class StreamExecutor(_StreamExecutorBase):
                  records: dict[tuple[int, int], FrameRecord]) -> None:
         c = outs.shape[0]
         with self.tracer.stage("device_step", samples=c * span):
-            # np.asarray blocks until the (async-dispatched) step lands;
-            # ONE packed fetch — the tunnel charges per transfer
+            # the fetch blocks until the (async-dispatched) step lands;
+            # ONE packed fetch — the tunnel charges per transfer. On a
+            # multi-process mesh the hosts exchange shards (DCN) so the
+            # collect below runs replicated on every host.
             psdu, valid, starts, cfo, rate_idx, length, parity, snr = (
-                self._unpack(np.asarray(outs)))
+                self._unpack(_fetch_global(outs)))
         n_new = 0
         with self.tracer.stage("collect"):
             c, t, k = valid.shape
@@ -861,8 +907,10 @@ class AdaptiveStreamExecutor(_StreamExecutorBase):
     ) -> list[_Candidate]:
         c_dim = outs.shape[0]
         with self.tracer.stage("device_step", samples=c_dim * span):
+            # multi-process: shard exchange makes the SIGNAL-steered
+            # bucketing below identical on every host (SPMD host dispatch)
             valid, starts, cfo, frame_start, rate_idx, length, sig_ok = (
-                self._unpack_a(np.asarray(outs)))
+                self._unpack_a(_fetch_global(outs)))
         cands: list[_Candidate] = []
         with self.tracer.stage("collect"):
             c, t, k = valid.shape

@@ -36,6 +36,11 @@ class UdpSource:
 
     def __init__(self, host: str = "0.0.0.0", port: int = 52001, mtu: int = 10000):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # deep kernel buffer (capped by net.core.rmem_max): app senders
+        # burst faster than the GIL-bound drain thread during device
+        # dispatch; the ~208 KiB default silently drops the overflow
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                             4 * 1024 * 1024)
         self.sock.bind((host, port))
         self.sock.settimeout(0.2)
         self.port = self.sock.getsockname()[1]
@@ -430,6 +435,10 @@ class RxRadio:
         from gnuradio_wifi_imagetransfer_tpu.utils import tracing
 
         self.samp_sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        # sample datagrams arrive at wire rate: deep kernel buffer so a
+        # processing pass doesn't drop the next chunk burst
+        self.samp_sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF,
+                                  4 * 1024 * 1024)
         self.samp_sock.bind(("0.0.0.0", samp_port))
         self.samp_sock.settimeout(0.1)
         self.samp_port = self.samp_sock.getsockname()[1]

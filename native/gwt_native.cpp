@@ -222,6 +222,12 @@ void* gwt_udp_source_create(const char* host, int port, int mtu,
     if (s->fd < 0) { delete s; return nullptr; }
     int one = 1;
     setsockopt(s->fd, SOL_SOCKET, SO_REUSEADDR, &one, sizeof(one));
+    // deep kernel receive buffer (kernel caps at net.core.rmem_max):
+    // bursty app-layer senders outpace the drain thread during device
+    // dispatch; the default ~208 KiB holds only ~600 piece datagrams
+    // and silently drops the rest of each burst
+    int rcvbuf = 4 * 1024 * 1024;
+    setsockopt(s->fd, SOL_SOCKET, SO_RCVBUF, &rcvbuf, sizeof(rcvbuf));
     struct timeval tv = {0, 200000};  // 200 ms poll so stop() is responsive
     setsockopt(s->fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
     sockaddr_in addr{};
