@@ -180,6 +180,18 @@ def restore_state(trainer, path) -> bool:
     return True
 
 
+def warm_start(trainer, variables: dict, step: int) -> None:
+    """Continue a training lineage from a packaged npz checkpoint: take
+    its params/batch_stats, keep the trainer's freshly initialized
+    optimizer state (the npz carries no Adam moments), and set the step
+    counter so curve/eval bookkeeping stays on the lineage's axis."""
+    from gnuradio_wifi_imagetransfer_tpu.utils.trainer import TrainState
+
+    trainer.state = TrainState(
+        variables["params"], variables.get("batch_stats", {}),
+        trainer.state.opt_state, int(step))
+
+
 # --- evaluation -----------------------------------------------------------
 
 def eval_holdout(variables, n_crops=16, seed=123, save_grid=None):
@@ -242,6 +254,16 @@ def main():
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--fresh", action="store_true",
                     help="ignore the /tmp resume state")
+    ap.add_argument("--init-from-asset", action="store_true",
+                    help="warm-start params/batch_stats from the committed "
+                    "npz when no /tmp resume state exists (fresh Adam "
+                    "moments; the cosine schedule spans the remaining "
+                    "steps). Use to continue a training lineage across "
+                    "machine restarts without the /tmp state file.")
+    ap.add_argument("--fresh-curve", action="store_true",
+                    help="start a new curve file instead of appending "
+                    "(use when the resumed lineage differs from the one "
+                    "the existing curve records)")
     ap.add_argument("--report-every", type=int, default=8,
                     help="dispatches between progress/checkpoint saves")
     ap.add_argument("--eval-every", type=int, default=4000,
@@ -282,12 +304,28 @@ def main():
     print(f"train pool: {len(train_imgs)} images, "
           f"augment={not args.no_augment}", flush=True)
 
+    # When warm-starting from the committed npz the Adam moments start
+    # fresh, so the cosine horizon must span only the steps this run will
+    # actually take (otherwise the schedule never reaches its floor).
+    warm_step = 0
+    warm_vars = None
+    if args.init_from_asset and not args.fresh \
+            and not os.path.exists(STATE) and os.path.exists(ASSET):
+        from gnuradio_wifi_imagetransfer_tpu.models.weights import load_soma_npz
+
+        warm_vars, warm_meta = load_soma_npz(ASSET)
+        warm_step = int(warm_meta.get("steps", 0))
+        print(f"warm-starting from {ASSET} (step {warm_step})", flush=True)
+
     model = SOMANet(compressed_channel=C, img_size=IMG)
-    schedule = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.01)
+    horizon = max(args.steps - warm_step, 1)
+    schedule = optax.cosine_decay_schedule(args.lr, horizon, alpha=0.01)
     trainer = Trainer(model, learning_rate=schedule, user_num=U,
                       img_size=IMG, batch_size=B, seed=0)
     if not args.fresh and restore_state(trainer, STATE):
         print(f"resumed step {trainer.state.step} from {STATE}", flush=True)
+    elif warm_vars is not None:
+        warm_start(trainer, warm_vars, warm_step)
 
     def batch_seq(k):
         """(K, U, B, IMG, IMG, 3) uint8 images + (K, U, 256) labels.
@@ -304,7 +342,7 @@ def main():
         return imgs, labs
 
     curve: list[dict] = []
-    if os.path.exists(args.curve_out):
+    if os.path.exists(args.curve_out) and not args.fresh_curve:
         try:
             with open(args.curve_out) as f:
                 curve = json.load(f)["points"]
@@ -322,6 +360,8 @@ def main():
             json.dump({"geometry": args.geometry,
                        "train_pool": len(train_imgs),
                        "augment": not args.no_augment,
+                       "warm_start_step": warm_step,
+                       "lr": args.lr, "total_steps": args.steps,
                        "points": curve}, f, indent=1)
 
     next_eval = ((trainer.state.step // args.eval_every + 1)

@@ -83,8 +83,9 @@ def run_soak(timeout_s: float = 900.0) -> dict:
     )
     from gnuradio_wifi_imagetransfer_tpu.runtime.bridge import LoopbackRadio
 
-    img = np.asarray(Image.open(
-        "/root/reference/images/kodim07.png").convert("RGB"))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    img = np.asarray(Image.open(os.path.join(
+        repo, "assets", "kodim07.png")).convert("RGB"))
 
     recv = ReceiverApp(http_port=0, rx_port=0)
     radio = LoopbackRadio(in_port=0, out_port=recv.rx_port, mcs=3,
