@@ -97,7 +97,12 @@ class _AppServer:
         return self
 
     def stop(self):
-        self.httpd.shutdown()
+        # shutdown() blocks on an event that only serve_forever() sets;
+        # calling it on a never-started server (an app driven through its
+        # API without the HTTP front end, e.g. the Mode-2 soak) would
+        # deadlock forever. server_close() alone releases the socket.
+        if self._thread.is_alive():
+            self.httpd.shutdown()
         self.httpd.server_close()
 
 
@@ -346,7 +351,8 @@ class _ReceiverBase(_AppServer):
 
     def stop(self):
         self._stop_evt.set()
-        self._rx_thread.join(timeout=2.0)
+        if self._rx_thread.is_alive():          # join() before start() raises
+            self._rx_thread.join(timeout=2.0)
         self.rx_sock.close()
         super().stop()
 

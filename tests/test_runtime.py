@@ -290,3 +290,29 @@ def test_receiver_app_rf_endpoints():
         app.stop()
         radio.source.stop()
         radio.sink.close()
+
+
+def test_app_stop_without_start_returns():
+    """stop() on an app whose HTTP server was never started must return,
+    not deadlock: socketserver.shutdown() waits on an event that only
+    serve_forever() sets. The Mode-2 soak drives SenderApp through
+    send_image() without the HTTP front end and hung forever in cleanup
+    before this guard existed."""
+    import threading
+
+    from gnuradio_wifi_imagetransfer_tpu.runtime.apps import (
+        ReceiverApp, SenderApp)
+
+    send = SenderApp(http_port=0)
+    recv = ReceiverApp(http_port=0, rx_port=0)
+
+    done = threading.Event()
+
+    def _stop_both():
+        send.stop()
+        recv.stop()
+        done.set()
+
+    t = threading.Thread(target=_stop_both, daemon=True)
+    t.start()
+    assert done.wait(timeout=10.0), "stop() deadlocked on a never-started app"
