@@ -264,6 +264,12 @@ def main():
                     help="start a new curve file instead of appending "
                     "(use when the resumed lineage differs from the one "
                     "the existing curve records)")
+    ap.add_argument("--horizon", type=int, default=None,
+                    help="cosine-schedule horizon in optimizer steps "
+                    "(default: steps - warm_start_step). Pass the original "
+                    "horizon when RESTARTING from the /tmp state so the "
+                    "restored Adam count lands at the same point of the "
+                    "schedule the interrupted run was on.")
     ap.add_argument("--report-every", type=int, default=8,
                     help="dispatches between progress/checkpoint saves")
     ap.add_argument("--eval-every", type=int, default=4000,
@@ -318,7 +324,7 @@ def main():
         print(f"warm-starting from {ASSET} (step {warm_step})", flush=True)
 
     model = SOMANet(compressed_channel=C, img_size=IMG)
-    horizon = max(args.steps - warm_step, 1)
+    horizon = args.horizon or max(args.steps - warm_step, 1)
     schedule = optax.cosine_decay_schedule(args.lr, horizon, alpha=0.01)
     trainer = Trainer(model, learning_rate=schedule, user_num=U,
                       img_size=IMG, batch_size=B, seed=0)
