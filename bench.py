@@ -503,33 +503,32 @@ def _worker_main(argv: list[str]) -> None:
     # t_lo from bench_device_step IS one full dispatch+fetch round trip
     # of a single super-block (the latency a streaming radio pays per
     # block); the marginal msps is the on-chip rate at that shape.
-    if True:
-        for ch, t_sh, blk in LATENCY_SHAPES:
-            if not wanted(f"latency:{ch}x{t_sh}x{blk}"):
-                continue
-            if not fits(90.0):
-                break
-            l_cfg = ExecutorConfig(block_size=blk, time_shards=t_sh,
-                                   channels=ch,
-                                   max_frames_per_block=MAX_FRAMES,
-                                   wire_format="sc16")
-            l_ex = StreamExecutor(plan, mesh=None, exec_cfg=l_cfg)
-            l_stream = data["primary"][:ch, : t_sh * blk]
-            try:
-                msps, (t_lo, t_hi, k_used) = bench_device_step(
-                    l_ex, l_stream, k_hi=8)
-            except RuntimeError as e:
-                _progress(f"worker: latency {ch}x{t_sh}x{blk} skipped ({e})")
-                continue
-            n_samp = ch * t_sh * blk
-            _emit("latency", {
-                "shape": f"{ch}x{t_sh}x{blk}", "samples": n_samp,
-                "step_ms": round(t_lo * 1e3, 2),
-                "marginal_msps": round(msps, 2),
-                "realtime_budget_ms_at_20msps": round(n_samp / 20e3, 2),
-            })
-            _progress(f"worker: latency {ch}x{t_sh}x{blk}: "
-                      f"{t_lo*1e3:.0f} ms/step, {msps:.0f} Msps marginal")
+    for ch, t_sh, blk in LATENCY_SHAPES:
+        if not wanted(f"latency:{ch}x{t_sh}x{blk}"):
+            continue
+        if not fits(90.0):
+            break
+        l_cfg = ExecutorConfig(block_size=blk, time_shards=t_sh,
+                               channels=ch,
+                               max_frames_per_block=MAX_FRAMES,
+                               wire_format="sc16")
+        l_ex = StreamExecutor(plan, mesh=None, exec_cfg=l_cfg)
+        l_stream = data["primary"][:ch, : t_sh * blk]
+        try:
+            msps, (t_lo, t_hi, k_used) = bench_device_step(
+                l_ex, l_stream, k_hi=8)
+        except RuntimeError as e:
+            _progress(f"worker: latency {ch}x{t_sh}x{blk} skipped ({e})")
+            continue
+        n_samp = ch * t_sh * blk
+        _emit("latency", {
+            "shape": f"{ch}x{t_sh}x{blk}", "samples": n_samp,
+            "step_ms": round(t_lo * 1e3, 2),
+            "marginal_msps": round(msps, 2),
+            "realtime_budget_ms_at_20msps": round(n_samp / 20e3, 2),
+        })
+        _progress(f"worker: latency {ch}x{t_sh}x{blk}: "
+                  f"{t_lo*1e3:.0f} ms/step, {msps:.0f} Msps marginal")
 
     # --- 6. ingest bandwidth: host->device bytes/s per wire format
     # (VERDICT r4 item 8 — quantify, not argue, what bounds the

@@ -117,6 +117,13 @@ def _fetch_global(outs) -> np.ndarray:
     identical on all hosts, the standard SPMD discipline."""
     if jax.process_count() == 1:
         return np.asarray(outs)
+    if getattr(outs, "is_fully_addressable", False):
+        # a LOCAL-mode executor (mesh=None, or a mesh over this process's
+        # own devices) inside a jax.distributed job: the value is whole on
+        # this host. Entering the allgather below would overwrite every
+        # rank's result with the highest rank's (each "shard" spans the
+        # full array) — or deadlock when ranks don't step in lockstep.
+        return np.asarray(outs)
     from jax.experimental import multihost_utils
 
     full = np.zeros(outs.shape, outs.dtype)
@@ -393,16 +400,25 @@ class _StreamExecutorBase:
         ext_out = HALO_LEFT + self.block + self.halo_right
         ext_in = fe.block_ext_in(ext_out)
         with self.tracer.stage("layout", samples=c * span):
-            blocks = np.zeros((c, t, ext_in), np.complex64)
+            # quantize each (channel, shard) cut straight into the wire
+            # tensor: the transient host allocation is one extended
+            # window's riq copy, not a full (c, t, ext_in) complex64
+            # image of the span plus its riq view (the same discipline
+            # _pad_wire adopted for ADVICE r4)
+            dt = {"f32": np.float32, "sc16": np.int16, "sc8": np.int8}[
+                self.cfg.wire_format]
+            wire = np.zeros((c, t, ext_in, 2), dtype=dt)
             taus = np.empty((t,), np.float32)
             for ti in range(t):
                 s0 = offset + ti * self.block - HALO_LEFT
                 in_cut, taus[ti] = fe.block_cut(s0, ext_out)
                 lo, hi = max(in_cut, 0), min(in_cut + ext_in, n_in)
                 if hi > lo:
-                    blocks[:, ti, lo - in_cut : lo - in_cut + hi - lo] = (
-                        stream[:, lo:hi])
-            wire = quantize_wire(to_riq(blocks), self.cfg.wire_format)
+                    dst = slice(lo - in_cut, lo - in_cut + hi - lo)
+                    for ch in range(c):
+                        wire[ch, ti, dst] = quantize_wire(
+                            to_riq(np.ascontiguousarray(stream[ch, lo:hi])),
+                            self.cfg.wire_format)
         with self.tracer.stage("transfer", samples=c * span):
             wire = _to_global(wire, self.mesh, P("channel", "time"))
             taus_d = _to_global(taus, self.mesh, P("time"))

@@ -508,20 +508,21 @@ def _make_receiver_handler(app):
             self.end_headers()
 
         def do_POST(self):
-            if self.path.startswith("/set_user") and isinstance(app, FeatureMapReceiverApp):
-                from urllib.parse import parse_qs, urlparse
+            from urllib.parse import parse_qs, urlparse
 
+            # exact route match on the PARSED path: a prefix test would
+            # also accept /set_userX or /radioactive?mcs=7 and mutate state
+            route = urlparse(self.path).path
+            if route == "/set_user" and isinstance(app, FeatureMapReceiverApp):
                 qs = parse_qs(urlparse(self.path).query)
                 app.user_id = qs.get("id", [app.user_id])[0]
                 self.send_response(200)
                 self.end_headers()
                 return
-            if self.path.startswith("/radio") and app.radio is not None:
+            if route == "/radio" and app.radio is not None:
                 # live radio reconfiguration — the browser stand-in for
                 # the reference's GUI variable sliders/choosers
                 # (IRS_tranceiver.py:370-375,429-434; IRS_user.py:221-273)
-                from urllib.parse import parse_qs, urlparse
-
                 qs = parse_qs(urlparse(self.path).query)
                 applied = {}
                 try:

@@ -77,7 +77,8 @@ class UdpSource:
 
     def stop(self):
         self._stop.set()
-        self._thread.join(timeout=1.0)
+        if self._thread.is_alive():             # join() before start() raises
+            self._thread.join(timeout=1.0)
         self.sock.close()
 
 
@@ -221,7 +222,8 @@ class LoopbackRadio:
 
     def stop(self):
         self._stop.set()
-        self._thread.join(timeout=5.0)
+        if self._thread.is_alive():             # join() before start() raises
+            self._thread.join(timeout=5.0)
         self.source.stop()
         self.sink.close()
 
@@ -243,6 +245,13 @@ class LoopbackRadio:
         jitted = {}
 
         def process(payloads: list[bytes]):
+            # snapshot the live-tunable attributes ONCE per batch: reading
+            # self.mcs/self.chan_est again inside the compile branch would
+            # race a concurrent set_encoding()/set_chan_est() and cache a
+            # program compiled for the NEW setting under the OLD key —
+            # permanently poisoning that bucket
+            mcs_now = self.mcs
+            algo_now = self.chan_est
             # bucket by equal length so shapes stay static per compile
             by_len: dict[int, list[bytes]] = {}
             for p in payloads:
@@ -261,11 +270,11 @@ class LoopbackRadio:
                 # snr/epsilon are TRACED arguments (live retune without
                 # recompiling); mcs/length/algo change the program shape
                 # and key the cache
-                key = (self.mcs, L, mpdus.shape[0], int(self.chan_est),
+                key = (mcs_now, L, mpdus.shape[0], int(algo_now),
                        self.probes)
                 if key not in jitted:
-                    plan = tx.tx_plan(self.mcs, L)
-                    algo = self.chan_est
+                    plan = tx.tx_plan(mcs_now, L)
+                    algo = algo_now
                     capture = self.probes
 
                     def radio_fn(mpdus_in, noise_key, snr_db, foff,
@@ -363,7 +372,8 @@ class TxRadio:
 
     def stop(self):
         self._stop.set()
-        self._thread.join(timeout=5.0)
+        if self._thread.is_alive():     # join() before start() raises
+            self._thread.join(timeout=5.0)
         self.source.stop()
         self.samp_sock.close()
 
@@ -469,7 +479,8 @@ class RxRadio:
 
     def stop(self):
         self._stop.set()
-        self._thread.join(timeout=10.0)
+        if self._thread.is_alive():     # join() before start() raises
+            self._thread.join(timeout=10.0)
         self.samp_sock.close()
         self.sink.close()
 

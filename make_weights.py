@@ -150,14 +150,30 @@ def random_user_keys(rng, u):
 
 # --- full-train-state persistence (params + stats + adam moments) ---------
 
-def save_state(trainer, path):
+def save_state(trainer, path, horizon: int | None = None):
     import jax
 
     leaves, _ = jax.tree.flatten(
         (trainer.state.params, trainer.state.batch_stats,
          trainer.state.opt_state))
-    np.savez(path, step=trainer.state.step,
+    extra = {} if horizon is None else {"horizon": np.int64(horizon)}
+    np.savez(path, step=trainer.state.step, **extra,
              **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def saved_horizon(path) -> int | None:
+    """Cosine horizon recorded in a /tmp state file, if any. Restarting
+    with the same CLI as a warm-started run would otherwise silently
+    stretch the schedule (warm_step is 0 on resume, so
+    steps - warm_step != the original horizon) and bump the LR
+    mid-lineage."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as data:
+            return int(data["horizon"]) if "horizon" in data.files else None
+    except Exception:
+        return None
 
 
 def restore_state(trainer, path) -> bool:
@@ -324,7 +340,8 @@ def main():
         print(f"warm-starting from {ASSET} (step {warm_step})", flush=True)
 
     model = SOMANet(compressed_channel=C, img_size=IMG)
-    horizon = args.horizon or max(args.steps - warm_step, 1)
+    horizon = (args.horizon or (None if args.fresh else saved_horizon(STATE))
+               or max(args.steps - warm_step, 1))
     schedule = optax.cosine_decay_schedule(args.lr, horizon, alpha=0.01)
     trainer = Trainer(model, learning_rate=schedule, user_num=U,
                       img_size=IMG, batch_size=B, seed=0)
@@ -383,7 +400,7 @@ def main():
             rate = (step - step0) / max(time.time() - t0, 1e-9)
             print(f"step {step:6d}  loss {losses[-1]:.5f}  "
                   f"({rate:.1f} steps/s)", flush=True)
-            save_state(trainer, STATE)
+            save_state(trainer, STATE, horizon)
             psnr = None
             if next_eval is not None and step >= next_eval:
                 psnr = eval_holdout(
@@ -395,7 +412,7 @@ def main():
                 next_eval = (step // args.eval_every + 1) * args.eval_every
             log_curve(step, losses[-1], psnr)
 
-    save_state(trainer, STATE)
+    save_state(trainer, STATE, horizon)
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
     table = eval_holdout(variables)

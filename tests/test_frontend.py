@@ -203,7 +203,6 @@ def test_block_path_trim_matches_analytic_positions():
 # executor integration — the VERDICT matrix
 # ----------------------------------------------------------------------
 
-_MESH = pytest.param("mesh", marks=pytest.mark.slow) if False else "mesh"
 
 
 def _run_fixed(mode, fe_cfg, stream_in, plan):
