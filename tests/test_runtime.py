@@ -316,3 +316,32 @@ def test_app_stop_without_start_returns():
     t = threading.Thread(target=_stop_both, daemon=True)
     t.start()
     assert done.wait(timeout=10.0), "stop() deadlocked on a never-started app"
+
+
+def test_post_routes_match_exact_path():
+    """POST route matching uses the PARSED path, exactly: /radioactive
+    must not retune the attached radio (it used to — the handler matched
+    with startswith on the raw request line)."""
+    import urllib.error
+    import urllib.request
+
+    from gnuradio_wifi_imagetransfer_tpu.runtime.apps import ReceiverApp
+
+    radio = LoopbackRadio(in_port=0, out_port=_free_port(), mcs=2)
+    app = ReceiverApp(http_port=0, rx_port=0, radio=radio)
+    app.start()
+    try:
+        base = f"http://127.0.0.1:{app.port}"
+        for path in ("/radioactive?mcs=7", "/radio/extra?mcs=7"):
+            req = urllib.request.Request(base + path, method="POST")
+            try:
+                resp = urllib.request.urlopen(req, timeout=10)
+                status = resp.status
+            except urllib.error.HTTPError as e:
+                status = e.code
+            assert status == 404, (path, status)
+            assert radio.mcs == 2, f"{path} retuned the radio"
+    finally:
+        app.stop()
+        radio.source.stop()
+        radio.sink.close()
