@@ -390,6 +390,37 @@ def main():
     next_eval = ((trainer.state.step // args.eval_every + 1)
                  * args.eval_every) if args.eval_every else None
 
+    def package(variables, table, step):
+        """Write the committed asset npz for these variables/metrics."""
+        meta = {
+            "geometry": args.geometry,
+            "compressed_channel": C, "img_size": IMG, "users": TARGET_USERS,
+            "steps": int(step), "lr": args.lr,
+            "train_images": TRAIN_IMAGES, "holdout": HOLDOUT,
+            "holdout_metrics": table,
+        }
+        os.makedirs(os.path.dirname(ASSET), exist_ok=True)
+        save_soma_npz(variables, ASSET, meta)
+        return meta
+
+    # Best-so-far packaging: a time-boxed run (tunnel drop, wall-clock cap)
+    # must never lose an improved checkpoint to an unreached final save —
+    # whenever the periodic holdout eval beats the packaged asset's
+    # recorded quality, re-package immediately. Initialized from the
+    # asset's own meta so a warm-started run only overwrites on a real
+    # improvement.
+    best_psnr = None
+    if os.path.exists(ASSET):
+        try:
+            from gnuradio_wifi_imagetransfer_tpu.models.weights import load_soma_npz
+
+            _, asset_meta = load_soma_npz(ASSET)
+            hm = asset_meta.get("holdout_metrics", {})
+            if hm:
+                best_psnr = float(np.mean([v["psnr"] for v in hm.values()]))
+        except Exception:
+            pass
+
     t0 = time.time()
     step0 = trainer.state.step
     while trainer.state.step < args.steps:
@@ -403,12 +434,19 @@ def main():
             save_state(trainer, STATE, horizon)
             psnr = None
             if next_eval is not None and step >= next_eval:
-                psnr = eval_holdout(
-                    {"params": trainer.state.params,
-                     "batch_stats": trainer.state.batch_stats}, n_crops=6)
+                variables = {"params": trainer.state.params,
+                             "batch_stats": trainer.state.batch_stats}
+                psnr = eval_holdout(variables, n_crops=16)
                 print(f"  holdout: " + ", ".join(
                     f"{u} {v['psnr']:.2f} dB" for u, v in psnr.items()),
                     flush=True)
+                mean_psnr = float(np.mean(
+                    [v["psnr"] for v in psnr.values()]))
+                if best_psnr is None or mean_psnr > best_psnr:
+                    best_psnr = mean_psnr
+                    package(variables, psnr, step)
+                    print(f"  packaged {ASSET} @ step {step} "
+                          f"({mean_psnr:.2f} dB mean)", flush=True)
                 next_eval = (step // args.eval_every + 1) * args.eval_every
             log_curve(step, losses[-1], psnr)
 
@@ -416,16 +454,14 @@ def main():
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
     table = eval_holdout(variables)
-    meta = {
-        "geometry": args.geometry,
-        "compressed_channel": C, "img_size": IMG, "users": TARGET_USERS,
-        "steps": int(trainer.state.step), "lr": args.lr,
-        "train_images": TRAIN_IMAGES, "holdout": HOLDOUT,
-        "holdout_metrics": table,
-    }
-    os.makedirs(os.path.dirname(ASSET), exist_ok=True)
-    save_soma_npz(variables, ASSET, meta)
-    print(json.dumps({"saved": ASSET, "holdout": table}, indent=2))
+    mean_final = float(np.mean([v["psnr"] for v in table.values()]))
+    if best_psnr is None or mean_final >= best_psnr:
+        package(variables, table, trainer.state.step)
+        print(json.dumps({"saved": ASSET, "holdout": table}, indent=2))
+    else:
+        print(json.dumps({
+            "kept_packaged_best": best_psnr, "final_holdout": table},
+            indent=2))
 
 
 if __name__ == "__main__":
