@@ -23,8 +23,10 @@ def test_packaged_checkpoint_exists_and_loads():
     }
     assert meta["users"] == ["3-4", "13-10"]
     # the committed metadata records the held-out quality measured at save
+    # (16-crop eval; packaged ref-geometry checkpoint measures 22.2/21.6 dB,
+    # the small fast-test one 22.6/20.7 — floor set with ~1.5 dB margin)
     for u in meta["users"]:
-        assert meta["holdout_metrics"][u]["psnr"] > 18.0, meta
+        assert meta["holdout_metrics"][u]["psnr"] > 19.5, meta
     enc, dec = wt.split_soma(variables)
     assert "params" in enc and "batch_stats" in enc
     assert "params" in dec
